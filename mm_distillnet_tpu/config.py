@@ -1,0 +1,125 @@
+"""Config system: INI files + ``--overwrite`` JSON merge.
+
+Reproduces the reference's public config API (reference train.py:267-276,
+evaluate.py:84-93): a ``configparser`` INI file whose ``[DEFAULT]`` section is
+threaded through the whole program, with typed accessors
+(``.getboolean/.getint/.getfloat``) and a JSON ``--overwrite`` CLI merge, so
+that existing ``configs/*.cfg`` files run unchanged.
+"""
+from __future__ import annotations
+
+import configparser
+import json
+import os
+from typing import Any, Mapping, Optional
+
+
+def load_config(config_file: str, overwrite: Optional[str] = None,
+                extra: Optional[Mapping[str, Any]] = None):
+    """Parse an INI config file and apply a JSON overwrite string.
+
+    Returns the ``[DEFAULT]`` SectionProxy, matching the object the reference
+    passes around (reference train.py:267-276).
+    """
+    if not os.path.exists(config_file):
+        raise FileNotFoundError(f"config file not found: {config_file}")
+    parser = configparser.ConfigParser()
+    parser.read(config_file)
+    if overwrite:
+        for key, value in json.loads(overwrite).items():
+            parser['DEFAULT'][str(key)] = str(value)
+    if extra:
+        for key, value in extra.items():
+            parser['DEFAULT'][str(key)] = str(value)
+    return parser['DEFAULT']
+
+
+def config_from_dict(values: Mapping[str, Any]):
+    """Build a config SectionProxy from a plain dict (tests, synthetic runs)."""
+    parser = configparser.ConfigParser()
+    parser['DEFAULT'] = {str(k): str(v) for k, v in values.items()}
+    return parser['DEFAULT']
+
+
+# Defaults mirroring configs/mm-distillnet.cfg in the reference; used by
+# tests and as a base for synthetic-data runs.
+DEFAULTS = {
+    'exp_name': 'MM-DistillNet',
+    'log_path': 'tensorboard',
+    'saved_path': 'trained_models',
+    'fast_run': 'False',
+    'dataset': 'MultimodalDetection',
+    'data_path': 'data',
+    'id_filter': 'None',
+    'drive_type': 'all',
+    'valid_labels': 'car',
+    'use_labels': 'False',
+    'use_thermal': 'True',
+    'use_depth': 'True',
+    'use_rgb': 'True',
+    'use_audio': 'False',
+    'student_modality': 'audio',
+    'image_size': '768',
+    'thermal_size': '768',
+    'depth_size': '768',
+    'audio_size': '768',
+    'normalize': 'True',
+    'train_transformations': 'Normalizer,Resizer',
+    'val_transformations': 'Normalizer,Resizer',
+    'seed': '24',
+    'batch_size': '2',
+    'ngpu': '1',
+    'num_workers': '6',
+    'engine': 'DataParallel',
+    'teacher': 'YetAnotherEfficientDet_D2',
+    'student': 'YetAnotherEfficientDet_D2_embedding',
+    'features_from': 'efficientnet',
+    'main_loss': 'YetAnotherFocalLoss',
+    'div_loss': 'None',
+    'kd_loss': 'MTALoss',
+    'adv_loss': 'None',
+    'T': '9',
+    'p': '2',
+    'data_augment_shift': 'False',
+    'w_main': '1.0',
+    'w_div': '1.0',
+    'w_kd': '0.005',
+    'w_adv': '1.0',
+    'resume': 'True',
+    'train_method': 'traditional_nms_augmented',
+    'integration_mode': 'concat',
+    'es_patience': '5',
+    'num_epoches': '50',
+    'val_interval': '5',
+    'enable_bohb': 'False',
+    'bohb_iterations': '4',
+    'enable_prev_bohb_run': 'False',
+    'pretrain': 'False',
+    'weights_init': 'False',
+    'grad_clip': '-1',
+    'optimizer': 'Adam',
+    'lr': '1e-4',
+    'momentum': '0.9',
+    'weight_decay': '5e-4',
+    'b1': '0.9',
+    'b2': '0.999',
+    'scheduler': 'ReduceLROnPlateau',
+    'step_size': '10',
+    'gamma': '0.1',
+    'iou_thres': '0.5',
+    'conf_threshold': '0.3',
+    'nms_threshold': '0.5',
+    # TPU-build additions (do not exist in the reference; all optional).
+    'max_detections': '100',       # fixed-shape detections per image
+    'nms_candidates': '512',       # pre-NMS top-k candidates
+    'max_gt': '64',                # padded pseudo-label capacity per image
+    'compute_dtype': 'bfloat16',   # activations dtype inside the model
+    'mta_parity_mode': 'True',     # reproduce kl_div(softmax, softmax) quirk
+    'mesh_shape': '-1',            # -1: all local devices on the data axis
+}
+
+
+def default_config(**overrides: Any):
+    values = dict(DEFAULTS)
+    values.update({str(k): str(v) for k, v in overrides.items()})
+    return config_from_dict(values)

@@ -1,0 +1,137 @@
+"""Focal detection loss, fully vectorized over the batch (fixed shapes).
+
+Semantics match YetAnotherFocalLoss (reference
+src/loss/YetAnotherFocalLoss.py:23-190) exactly, replacing its per-image
+Python loop and ragged numpy annotation padding with a dense
+(B, MAX_GT, 5) formulation:
+
+- annotations are padded with label -1 rows ([..., 4] == -1 -> padding);
+- IoU bands: positive >= 0.5, ignore (0.4, 0.5), negative < 0.4;
+- alpha=0.25, gamma=2 focal BCE on sigmoid scores clamped to
+  [1e-4, 1-1e-4]; classification sum normalized by clamp(num_pos, 1);
+- an image whose annotation set is empty gets the negatives-only
+  classification loss (sum over all anchors/classes of
+  (1-alpha) * p^gamma * -log(1-p)) and zero regression loss;
+- regression: smooth-L1 (beta=1/9) on (dy, dx, dh, dw) targets vs anchors,
+  with gt w/h clamped to >= 1, averaged over positive anchors;
+- batch reduction: mean over images; if NO image in the batch has any
+  annotation, both losses are exactly 0 (the reference skips all images
+  when max_num_annots == 0 and returns zeros,
+  src/loss/YetAnotherFocalLoss.py:63-66,178-186).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import iou_anchors_vs_gt
+
+ALPHA = 0.25
+GAMMA = 2.0
+CLS_CLAMP = 1e-4
+SMOOTH_L1_BETA = 1.0 / 9.0
+
+
+def _smooth_l1(diff: jnp.ndarray) -> jnp.ndarray:
+    ad = jnp.abs(diff)
+    return jnp.where(ad <= SMOOTH_L1_BETA,
+                     0.5 * 9.0 * ad * ad,
+                     ad - 0.5 / 9.0)
+
+
+def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
+                    annotations: jnp.ndarray, anchors: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """classification (N, C) sigmoid scores; regression (N, 4);
+    annotations (MAX_GT, 5) [x1,y1,x2,y2,label], label==-1 padding;
+    anchors (N, 4) [y1,x1,y2,x2].
+    Returns (reg_loss, cls_loss, has_annotations)."""
+    num_classes = classification.shape[-1]
+    gt_valid = annotations[:, 4] != -1                      # (G,)
+    n_gt = jnp.sum(gt_valid)
+
+    cls = jnp.clip(classification, CLS_CLAMP, 1.0 - CLS_CLAMP)
+
+    # ---- negatives-only branch (image with no annotations) ----
+    neg_only_cls = jnp.sum((1.0 - ALPHA) * jnp.power(cls, GAMMA) *
+                           (-jnp.log(1.0 - cls)))
+
+    # ---- full branch ----
+    iou = iou_anchors_vs_gt(anchors, annotations[:, :4])    # (N, G)
+    # Invalid gt rows must never win the argmax: force their IoU to -1.
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou_max = jnp.max(iou, axis=1)
+    iou_argmax = jnp.argmax(iou, axis=1)
+
+    assigned = annotations[iou_argmax]                      # (N, 5)
+    positive = iou_max >= 0.5
+    negative = iou_max < 0.4
+    num_pos = jnp.sum(positive)
+
+    # classification targets: one-hot for positives, zeros for negatives,
+    # ignore band contributes nothing.
+    labels = jnp.clip(assigned[:, 4].astype(jnp.int32), 0, num_classes - 1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=cls.dtype)
+    targets = jnp.where(positive[:, None], one_hot, 0.0)
+    care = (positive | negative)[:, None]
+
+    alpha_factor = jnp.where(targets == 1.0, ALPHA, 1.0 - ALPHA)
+    focal_weight = jnp.where(targets == 1.0, 1.0 - cls, cls)
+    focal_weight = alpha_factor * jnp.power(focal_weight, GAMMA)
+    bce = -(targets * jnp.log(cls) + (1.0 - targets) * jnp.log(1.0 - cls))
+    cls_loss_full = jnp.sum(jnp.where(care, focal_weight * bce, 0.0))
+    cls_loss_full = cls_loss_full / jnp.clip(num_pos.astype(cls.dtype), min=1.0)
+
+    # regression targets for positive anchors
+    anchor_h = anchors[:, 2] - anchors[:, 0]
+    anchor_w = anchors[:, 3] - anchors[:, 1]
+    anchor_cy = anchors[:, 0] + 0.5 * anchor_h
+    anchor_cx = anchors[:, 1] + 0.5 * anchor_w
+
+    gt_w = jnp.clip(assigned[:, 2] - assigned[:, 0], min=1.0)
+    gt_h = jnp.clip(assigned[:, 3] - assigned[:, 1], min=1.0)
+    gt_cx = assigned[:, 0] + 0.5 * (assigned[:, 2] - assigned[:, 0])
+    gt_cy = assigned[:, 1] + 0.5 * (assigned[:, 3] - assigned[:, 1])
+
+    t_dx = (gt_cx - anchor_cx) / anchor_w
+    t_dy = (gt_cy - anchor_cy) / anchor_h
+    t_dw = jnp.log(gt_w / anchor_w)
+    t_dh = jnp.log(gt_h / anchor_h)
+    reg_targets = jnp.stack([t_dy, t_dx, t_dh, t_dw], axis=1)
+
+    reg_loss_each = jnp.sum(_smooth_l1(reg_targets - regression), axis=1) / 4.0
+    reg_loss_full = jnp.sum(jnp.where(positive, reg_loss_each, 0.0)) / \
+        jnp.clip(num_pos.astype(cls.dtype), min=1.0)
+    reg_loss_full = jnp.where(num_pos > 0, reg_loss_full, 0.0)
+
+    has_gt = n_gt > 0
+    cls_loss = jnp.where(has_gt, cls_loss_full, neg_only_cls)
+    reg_loss = jnp.where(has_gt, reg_loss_full, 0.0)
+    return reg_loss, cls_loss, has_gt
+
+
+def focal_loss(classification: jnp.ndarray, regression: jnp.ndarray,
+               annotations: jnp.ndarray, anchors: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched focal loss.
+
+    classification (B, N, C), regression (B, N, 4),
+    annotations (B, MAX_GT, 5) padded with -1 labels, anchors (N, 4).
+    Returns (regression_loss, classification_loss) scalars (batch means;
+    exactly 0 when no image has annotations).
+    """
+    classification = classification.astype(jnp.float32)
+    regression = regression.astype(jnp.float32)
+    annotations = annotations.astype(jnp.float32)
+    anchors = anchors.astype(jnp.float32)
+
+    reg, cls, has_gt = jax.vmap(
+        _per_image_loss, in_axes=(0, 0, 0, None))(
+        classification, regression, annotations, anchors)
+    any_gt = jnp.any(has_gt)
+    reg_loss = jnp.where(any_gt, jnp.mean(reg), 0.0)
+    cls_loss = jnp.where(any_gt, jnp.mean(cls), 0.0)
+    return reg_loss, cls_loss

@@ -1,0 +1,127 @@
+"""On-device fixed-shape detection post-processing.
+
+Dense replacement for the reference's ragged, host-side pipeline
+(EfficientDet_post_processing, reference src/utils/utils.py:144-231 and
+logits_to_ground_truth src/utils/utils.py:234-324): decode deltas vs the
+anchor table, clip to the image, per-anchor confidence filtering
+(conf_threshold), class-validity masking, per-class NMS (nms_threshold) —
+all inside the compiled program, producing (B, max_det, 6) tensors
+[xmin, ymin, xmax, ymax, score, class] plus a validity mask. This removes
+the per-teacher-per-step device->host NMS round-trip that dominates the
+reference's hot loop (SURVEY.md section 3.1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxes import clip_boxes, decode_boxes
+from .nms import NEG_INF, batched_class_nms_fixed
+
+
+class Detections(NamedTuple):
+    """Fixed-shape detections: boxes xyxy in pixels, prediction-space class
+    ids, and a validity mask (padding rows are False)."""
+    boxes: jnp.ndarray    # (B, max_det, 4)
+    scores: jnp.ndarray   # (B, max_det)
+    classes: jnp.ndarray  # (B, max_det) int32
+    valid: jnp.ndarray    # (B, max_det) bool
+
+
+def class_validity_table(num_classes: int,
+                         valid_prediction_ids: Sequence[int],
+                         ignore_labels: Sequence[int] = ()) -> np.ndarray:
+    """Boolean LUT over class ids: True where the class is one of the
+    configured valid prediction ids (reference src/utils/utils.py:196-204
+    masks classes to valid_classes_dict['predictions_txt2i'] values, then
+    drops ignore_labels)."""
+    table = np.zeros((num_classes,), dtype=bool)
+    for cid in valid_prediction_ids:
+        table[cid] = True
+    for cid in ignore_labels:
+        table[cid] = False
+    return table
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'image_size', 'conf_threshold', 'nms_threshold', 'num_candidates',
+    'max_detections'))
+def postprocess_detections(classification: jnp.ndarray,
+                           regression: jnp.ndarray,
+                           anchors: jnp.ndarray,
+                           class_valid: jnp.ndarray,
+                           *,
+                           image_size: int,
+                           conf_threshold: float = 0.3,
+                           nms_threshold: float = 0.5,
+                           num_candidates: int = 512,
+                           max_detections: int = 100) -> Detections:
+    """classification (B, N, C) sigmoid scores; regression (B, N, 4);
+    anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT."""
+    classification = classification.astype(jnp.float32)
+    regression = regression.astype(jnp.float32)
+
+    boxes = decode_boxes(anchors[None], regression)
+    boxes = clip_boxes(boxes, float(image_size))
+
+    scores = jnp.max(classification, axis=-1)        # (B, N)
+    classes = jnp.argmax(classification, axis=-1)    # (B, N)
+    valid = (scores > conf_threshold) & class_valid[classes]
+
+    # Top-K candidate selection (dense; K bounds the NMS cost).
+    masked = jnp.where(valid, scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(masked, num_candidates)
+    cand_valid = top_scores > NEG_INF / 2
+
+    def _per_image(bxs, idx, scr, cls, v):
+        b = bxs[idx]
+        c = cls[idx]
+        sel, kscores, kvalid = batched_class_nms_fixed(
+            b, scr, c, v, nms_threshold, max_detections,
+            coord_bound=float(image_size) + 1.0)
+        return b[sel], jnp.where(kvalid, kscores, 0.0), c[sel], kvalid
+
+    out_boxes, out_scores, out_classes, out_valid = jax.vmap(_per_image)(
+        boxes, top_idx, top_scores, classes, cand_valid)
+    out_classes = jnp.where(out_valid, out_classes, -1)
+    return Detections(out_boxes, out_scores, out_classes.astype(jnp.int32),
+                      out_valid)
+
+
+def detections_to_labels(dets: Detections,
+                         pred_to_label: jnp.ndarray,
+                         image_size: int,
+                         include_scores: bool = True) -> jnp.ndarray:
+    """Convert detections into padded pseudo-ground-truth rows.
+
+    Mirrors logits_to_ground_truth (reference src/utils/utils.py:286-318):
+    coordinates are int-truncated and re-clipped, prediction-space class ids
+    are remapped to label-space via `pred_to_label` (a (C,) int LUT), and
+    invalid rows are padded with -1 labels (the focal loss treats label -1
+    as padding, reference src/loss/YetAnotherFocalLoss.py:67).
+
+    Returns (B, max_det, 6) [x1, y1, x2, y2, score, label] when
+    include_scores else (B, max_det, 5) [x1, y1, x2, y2, label].
+    """
+    b = jnp.floor(dets.boxes)
+    x1 = jnp.clip(b[..., 0], 0, image_size)
+    y1 = jnp.clip(b[..., 1], 0, image_size)
+    x2 = jnp.clip(b[..., 2], 0, image_size)
+    y2 = jnp.clip(b[..., 3], 0, image_size)
+    safe_cls = jnp.clip(dets.classes, 0, pred_to_label.shape[0] - 1)
+    labels = pred_to_label[safe_cls].astype(jnp.float32)
+    labels = jnp.where(dets.valid, labels, -1.0)
+    cols = [x1, y1, x2, y2]
+    if include_scores:
+        cols.append(dets.scores)
+    cols.append(labels)
+    out = jnp.stack(cols, axis=-1)
+    # Zero out padded rows except the label column (-1 marker).
+    mask = dets.valid[..., None]
+    pad = jnp.concatenate([jnp.zeros_like(out[..., :-1]),
+                           -jnp.ones_like(out[..., -1:])], axis=-1)
+    return jnp.where(mask, out, pad)

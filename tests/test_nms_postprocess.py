@@ -1,0 +1,123 @@
+"""NMS and post-processing tests vs a numpy greedy-NMS oracle."""
+import jax.numpy as jnp
+import numpy as np
+
+from mm_distillnet_tpu.ops.anchors import anchor_table
+from mm_distillnet_tpu.ops.boxes import decode_boxes, clip_boxes
+from mm_distillnet_tpu.ops.nms import batched_class_nms_fixed, nms_fixed
+from mm_distillnet_tpu.ops.postprocess import (class_validity_table,
+                                               detections_to_labels,
+                                               postprocess_detections)
+
+
+def np_greedy_nms(boxes, scores, iou_thr):
+    """Oracle: classic greedy NMS, descending-score order."""
+    order = np.argsort(-scores, kind='stable')
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / np.clip(areas[i] + areas - inter, 1e-8, None)
+        suppressed |= iou > iou_thr
+        suppressed[i] = True  # mark processed, already kept
+    return keep
+
+
+def test_nms_fixed_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 64
+    ctr = rng.uniform(20, 100, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    idx, kscores, out_valid = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, n)
+    got = np.asarray(idx)[np.asarray(out_valid)]
+    want = np_greedy_nms(boxes, scores, 0.5)
+    assert list(got) == list(want)
+
+
+def test_nms_respects_validity_mask():
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    valid = np.array([False, True, True])
+    idx, _, out_valid = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), 0.5, 3)
+    kept = list(np.asarray(idx)[np.asarray(out_valid)])
+    assert kept == [1, 2]  # the invalid highest-score box is ignored
+
+
+def test_batched_class_nms_keeps_cross_class_overlaps():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    classes = np.array([0, 1], np.int32)
+    valid = np.ones(2, bool)
+    _, _, out_valid = batched_class_nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid), 0.5, 2, coord_bound=100.0)
+    assert int(np.asarray(out_valid).sum()) == 2  # different class: both kept
+
+
+def test_postprocess_pipeline_recovers_planted_box():
+    size = 128
+    anchors = anchor_table(size)
+    n, c = anchors.shape[0], 20
+    cls = np.full((1, n, c), 0.01, np.float32)
+    reg = np.zeros((1, n, 4), np.float32)
+    # plant a confident car (class 6) on anchor 100 with zero deltas
+    cls[0, 100, 6] = 0.95
+    table = class_validity_table(c, valid_prediction_ids=[6])
+    dets = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), image_size=size, conf_threshold=0.3,
+        nms_threshold=0.5, num_candidates=32, max_detections=8)
+    valid = np.asarray(dets.valid[0])
+    assert valid.sum() == 1
+    a = anchors[100]
+    expect = np.array([max(a[1], 0), max(a[0], 0),
+                       min(a[3], size), min(a[2], size)])
+    np.testing.assert_allclose(np.asarray(dets.boxes[0][valid])[0], expect,
+                               atol=1e-3)
+    assert int(np.asarray(dets.classes[0][valid])[0]) == 6
+    # conversion to padded labels
+    pred_to_label = np.arange(c, dtype=np.int32)
+    labels = detections_to_labels(dets, jnp.asarray(pred_to_label), size)
+    lab = np.asarray(labels[0])
+    assert lab.shape == (8, 6)
+    assert lab[0, 5] == 6 and (lab[1:, 5] == -1).all()
+
+
+def test_postprocess_high_class_filtered_out():
+    size = 128
+    anchors = anchor_table(size)
+    n, c = anchors.shape[0], 20
+    cls = np.full((1, n, c), 0.01, np.float32)
+    cls[0, 50, 3] = 0.9  # class 3 not in valid set
+    table = class_validity_table(c, valid_prediction_ids=[6])
+    dets = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(np.zeros((1, n, 4), np.float32)),
+        jnp.asarray(anchors), jnp.asarray(table), image_size=size,
+        num_candidates=32, max_detections=8)
+    assert int(np.asarray(dets.valid).sum()) == 0
+
+
+def test_decode_clip_roundtrip():
+    anchors = jnp.asarray(anchor_table(128)[:10])
+    reg = jnp.zeros((1, 10, 4))
+    boxes = decode_boxes(anchors[None], reg)
+    # zero deltas -> boxes == anchors in xyxy order
+    np.testing.assert_allclose(np.asarray(boxes[0, :, 0]),
+                               np.asarray(anchors[:, 1]), atol=1e-5)
+    clipped = clip_boxes(boxes, 128.0)
+    assert float(clipped.min()) >= 0.0
+    assert float(jnp.max(clipped[..., 2:])) <= 128.0
