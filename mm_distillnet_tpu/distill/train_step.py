@@ -1,0 +1,262 @@
+"""The fused multi-teacher distillation step: one compiled function.
+
+This is the TPU-native reincarnation of the reference's L3 "model with loss"
+design (ModelWithNMSLossAugmented and siblings, reference
+src/optimization/train_methods.py:50-762) plus the inner loop's backward +
+optimizer step (src/optimization/traditional.py:92-207): the entire
+"3 teacher forwards -> on-device decode + NMS pseudo-label fusion ->
+student forward -> focal + MTA losses -> grad -> optimizer update" pipeline
+compiles into a single jit'd function. Sharding the batch over the `data`
+mesh axis makes XLA insert the gradient all-reduce — the SPMD replacement
+for DataParallel/DDP (SURVEY.md section 2.3).
+
+Supported train methods (reference train_methods.py:899-942):
+  traditional                     per-teacher labels, losses averaged
+  traditional_nms                 NMS-fused labels, per-teacher MTA
+  traditional_nms_augmented       + audio-mix augmentation (shipped default)
+  traditional_nms_kdlist          fused labels, multi-teacher MTA product
+  traditional_nms_kdlist_augmented
+
+Loss weighting matches traditional.py:171-181:
+  loss = w_main * (mean(reg_losses) + mean(cls_losses))
+         + w_div * 0 + w_kd * sum(stack(kd_losses)).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.focal import focal_loss
+from ..losses.mta import mta_loss
+from .pseudo_labels import (PseudoLabelConfig, build_pseudo_labels,
+                            fuse_teacher_labels, teacher_detections)
+from ..ops.postprocess import detections_to_labels
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class DistillConfig(NamedTuple):
+    train_method: str = 'traditional_nms_augmented'
+    w_main: float = 1.0
+    w_div: float = 1.0
+    w_kd: float = 0.005
+    T: float = 9.0
+    p: float = 2.0
+    mta_parity: bool = True
+    audio_augmentation_merge: bool = False
+    pl: PseudoLabelConfig = PseudoLabelConfig(image_size=768)
+
+
+def merge_audio_batch01(audio: jnp.ndarray) -> jnp.ndarray:
+    """Audio-mix augmentation: batch element 1 becomes the log-domain "sum"
+    of elements 0 and 1. Replicates merge_batch_0_1 exactly (reference
+    src/optimization/train_methods.py:289-308) INCLUDING its quirk: the code
+    computes a^10 + b^10 (torch.pow(audio, 10)), not 10^a + 10^b as the
+    comment claims; we reproduce the executed behavior."""
+    merged = jnp.power(audio[0], 10) + jnp.power(audio[1], 10)
+    merged = jnp.clip(merged, min=1e-7)
+    merged = jnp.log10(merged)
+    return audio.at[1].set(merged)
+
+
+def average_teacher_features_batch01(features: List[jnp.ndarray]
+                                     ) -> List[jnp.ndarray]:
+    """Teacher-feature companion of the audio merge: feature batch element 1
+    averaged with element 0 per pyramid level (reference
+    train_methods.py:276-287)."""
+    out = []
+    for f in features:
+        out.append(f.at[1].set((f[0] + f[1]) / 2))
+    return out
+
+
+def _teacher_forward(teacher_models: Dict[str, Any],
+                     teacher_variables: Dict[str, Any],
+                     batch: Dict[str, jnp.ndarray]):
+    """Frozen-teacher forwards (eval-mode BN; teachers are never trained,
+    reference train_methods.py:891-893). Returns
+    {modality: (classification, regression, features)}."""
+    outs = {}
+    for modality, model in teacher_models.items():
+        x = batch[modality]
+        o = model.apply(teacher_variables[modality], x, train=False)
+        feats = [jax.lax.stop_gradient(f) for f in
+                 (o.features if model.features_from == 'efficientnet'
+                  else [o.align_features])]
+        outs[modality] = (jax.lax.stop_gradient(o.classification),
+                          jax.lax.stop_gradient(o.regression), feats)
+    return outs
+
+
+def _labels_per_teacher(t_outs, anchors, class_valid, pred_to_label, cfg):
+    """Per-teacher padded label tensors (B, max_det, 6) with scores."""
+    labels = []
+    for modality, (cls_t, reg_t, _) in t_outs.items():
+        dets = teacher_detections(cls_t, reg_t, anchors, class_valid, cfg.pl)
+        labels.append(detections_to_labels(dets, pred_to_label,
+                                           cfg.pl.image_size,
+                                           include_scores=True))
+    return labels
+
+
+def _augment_label_union(per_teacher_labels: List[jnp.ndarray]
+                         ) -> List[jnp.ndarray]:
+    """Under audio-mix augmentation the reference concatenates image 0's
+    labels into image 1's candidate set before the fusion NMS
+    (train_methods.py:384-390). With fixed shapes we emulate the union by
+    appending each teacher's image-0 rows as extra 'teachers' for image 1
+    only (padding them out for every other image)."""
+    extras = []
+    for lab in per_teacher_labels:
+        ghost = jnp.zeros_like(lab)
+        ghost = ghost.at[..., 5].set(-1.0)      # all-invalid rows
+        ghost = ghost.at[1].set(lab[0])         # image 1 sees image 0's rows
+        extras.append(ghost)
+    return per_teacher_labels + extras
+
+
+def compute_distill_losses(student_model, params, batch_stats,
+                           teacher_models, teacher_variables,
+                           batch, cfg: DistillConfig,
+                           anchors, class_valid, pred_to_label,
+                           train: bool, dropout_rng=None):
+    """Shared loss computation for train and validation.
+
+    Returns (loss, aux) where aux carries new batch_stats and the scalar
+    breakdown matching the reference's logged quantities."""
+    audio = batch['audio']
+    augment = cfg.audio_augmentation_merge and \
+        'augmented' in cfg.train_method
+    if augment:
+        audio = merge_audio_batch01(audio)
+
+    t_outs = _teacher_forward(teacher_models, teacher_variables,
+                              {**batch, 'audio': audio})
+    if augment:
+        t_outs = {m: (c, r, average_teacher_features_batch01(f))
+                  for m, (c, r, f) in t_outs.items()}
+
+    # ---- student forward ----
+    variables = {'params': params, 'batch_stats': batch_stats}
+    rngs = {'dropout': dropout_rng} if (train and dropout_rng is not None) \
+        else None
+    if train:
+        out, mutated = student_model.apply(
+            variables, audio, train=True, mutable=['batch_stats'], rngs=rngs)
+        new_batch_stats = mutated['batch_stats']
+    else:
+        out = student_model.apply(variables, audio, train=False)
+        new_batch_stats = batch_stats
+    feats_s = (list(out.features)
+               if student_model.features_from == 'efficientnet'
+               else [out.align_features])
+
+    # ---- pseudo-labels ----
+    per_teacher = _labels_per_teacher(t_outs, anchors, class_valid,
+                                      pred_to_label, cfg)
+    method = cfg.train_method
+    if method == 'traditional':
+        # per-teacher labels, no cross-teacher fusion (ModelWithLoss,
+        # reference train_methods.py:520-584)
+        reg_losses, cls_losses = [], []
+        for lab in per_teacher:
+            ann = jnp.concatenate([lab[..., :4], lab[..., 5:6]], axis=-1)
+            r, c = focal_loss(out.classification, out.regression, ann,
+                              anchors)
+            reg_losses.append(r)
+            cls_losses.append(c)
+    else:
+        fuse_inputs = per_teacher
+        if augment:
+            fuse_inputs = _augment_label_union(per_teacher)
+        fused = fuse_teacher_labels(fuse_inputs, cfg.pl)
+        r, c = focal_loss(out.classification, out.regression, fused, anchors)
+        reg_losses, cls_losses = [r], [c]
+
+    # ---- KD losses ----
+    kd_losses = []
+    teacher_feats = [f for (_, _, f) in t_outs.values()]
+    if 'kdlist' in method:
+        kd_losses.append(mta_loss(feats_s, teacher_feats, cfg.T, cfg.p,
+                                  cfg.mta_parity))
+    else:
+        for ft in teacher_feats:
+            kd_losses.append(mta_loss(feats_s, ft, cfg.T, cfg.p,
+                                      cfg.mta_parity))
+
+    loss_regression = jnp.mean(jnp.stack(reg_losses))
+    loss_cls = jnp.mean(jnp.stack(cls_losses))
+    loss_kd = jnp.sum(jnp.stack(kd_losses))
+    loss = cfg.w_main * (loss_regression + loss_cls) + cfg.w_kd * loss_kd
+
+    aux = {
+        'batch_stats': new_batch_stats,
+        'metrics': {
+            'Total_loss': loss,
+            'Regression_loss': loss_regression,
+            'Class_loss': loss_cls,
+            'KLDiv': jnp.zeros(()),
+            'KD': loss_kd,
+        },
+    }
+    return loss, aux
+
+
+def make_train_step(student_model, teacher_models, tx,
+                    cfg: DistillConfig, anchors, class_valid, pred_to_label):
+    """Builds the jit-able train step. Call under jit with the batch sharded
+    over the data mesh; XLA handles the gradient reduction."""
+
+    def train_step(state: TrainState, teacher_variables, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return compute_distill_losses(
+                student_model, params, state.batch_stats, teacher_models,
+                teacher_variables, batch, cfg, anchors, class_valid,
+                pred_to_label, train=True, dropout_rng=dropout_rng)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=aux['batch_stats'],
+                               opt_state=new_opt_state)
+        return new_state, aux['metrics']
+
+    return train_step
+
+
+def make_eval_loss_step(student_model, teacher_models, cfg: DistillConfig,
+                        anchors, class_valid, pred_to_label):
+    """Validation loss (reference validate(), train_methods.py:1083-1185):
+    same computation without grads, eval-mode student BN."""
+
+    def eval_step(state: TrainState, teacher_variables, batch):
+        loss, aux = compute_distill_losses(
+            student_model, state.params, state.batch_stats, teacher_models,
+            teacher_variables, batch, cfg, anchors, class_valid,
+            pred_to_label, train=False)
+        return aux['metrics']
+
+    return eval_step
+
+
+def init_train_state(student_model, rng, sample_input, tx) -> TrainState:
+    variables = student_model.init(rng, sample_input)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state)

@@ -1,0 +1,102 @@
+"""End-to-end distillation train-step tests (tiny models, virtual devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_distillnet_tpu.distill.pseudo_labels import PseudoLabelConfig
+from mm_distillnet_tpu.distill.train_step import (DistillConfig, TrainState,
+                                                  init_train_state,
+                                                  make_eval_loss_step,
+                                                  make_train_step)
+from mm_distillnet_tpu.models.efficientdet import EfficientDet
+from mm_distillnet_tpu.ops.anchors import anchor_table
+from mm_distillnet_tpu.ops.postprocess import class_validity_table
+from mm_distillnet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from mm_distillnet_tpu.train.optim import build_optimizer
+from mm_distillnet_tpu.config import default_config
+
+SIZE = 128
+
+
+def _setup(method='traditional_nms_augmented', batch=2):
+    config = default_config(lr='1e-3', train_method=method)
+    student = EfficientDet(num_classes=20, compound_coef=0,
+                           dtype=jnp.float32)
+    teachers = {
+        'rgb': EfficientDet(num_classes=20, compound_coef=0,
+                            dtype=jnp.float32),
+        'thermal': EfficientDet(num_classes=20, compound_coef=0,
+                                dtype=jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    batch_data = {
+        'rgb': jax.random.normal(rng, (batch, SIZE, SIZE, 3)),
+        'thermal': jax.random.normal(rng, (batch, SIZE, SIZE, 1)),
+        'audio': jax.random.normal(rng, (batch, SIZE, SIZE, 8)),
+    }
+    teacher_vars = {
+        m: t.init(jax.random.PRNGKey(i + 1), batch_data[m])
+        for i, (m, t) in enumerate(teachers.items())
+    }
+    tx = build_optimizer(config)
+    state = init_train_state(student, jax.random.PRNGKey(9),
+                             batch_data['audio'], tx)
+    anchors = jnp.asarray(anchor_table(SIZE))
+    class_valid = jnp.asarray(class_validity_table(20, list(range(20))))
+    pred_to_label = jnp.arange(20)
+    cfg = DistillConfig(
+        train_method=method,
+        pl=PseudoLabelConfig(image_size=SIZE, conf_threshold=0.3,
+                             num_candidates=64, max_det_per_teacher=8,
+                             max_gt=16))
+    return (student, teachers, teacher_vars, tx, state, batch_data, anchors,
+            class_valid, pred_to_label, cfg)
+
+
+@pytest.mark.parametrize('method', ['traditional_nms_augmented',
+                                    'traditional_nms_kdlist',
+                                    'traditional'])
+def test_train_step_runs_and_updates(method):
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup(method)
+    step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                   class_valid, pred_to_label))
+    new_state, metrics = step(state, teacher_vars, batch,
+                              jax.random.PRNGKey(3))
+    for k in ('Total_loss', 'Regression_loss', 'Class_loss', 'KD'):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    # params must change
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    assert int(new_state.step) == 1
+
+
+def test_eval_loss_step_no_mutation():
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup()
+    estep = jax.jit(make_eval_loss_step(student, teachers, cfg, anchors,
+                                        class_valid, pred_to_label))
+    metrics = estep(state, teacher_vars, batch)
+    assert np.isfinite(float(metrics['Total_loss']))
+
+
+def test_train_step_sharded_over_mesh():
+    """The same step compiled over an 8-device data mesh (SPMD DP)."""
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup(batch=8)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    sharded_batch = shard_batch(mesh, batch)
+    state = replicate(mesh, state)
+    teacher_vars = replicate(mesh, teacher_vars)
+    step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                   class_valid, pred_to_label))
+    new_state, metrics = step(state, teacher_vars, sharded_batch,
+                              jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['Total_loss']))
+    # the updated params stay replicated (no per-device divergence)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) in (1, 8)
