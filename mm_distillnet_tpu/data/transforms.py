@@ -1,0 +1,105 @@
+"""Host-side per-frame transformations (numpy/cv2).
+
+Mirrors the active reference transforms
+(reference src/datasets/transformations.py):
+- Normalizer: ImageNet mean/std on RGB only (:315-330)
+- Resizer: aspect-preserving resize + zero-pad bottom/right to common_size
+  for rgb/thermal/depth; full bicubic stretch for the audio spectrogram
+  (:407-467); label boxes scaled by the same factor.
+
+These run on host workers inside the input pipeline; the audio stretch also
+has an on-device twin (ops.resize.resize_bicubic) used by the fused
+spectrogram path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class Normalizer:
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample: dict) -> dict:
+        sample = dict(sample)
+        sample['rgb'] = ((sample['rgb'].astype(np.float32) - self.mean)
+                         / self.std)
+        return sample
+
+
+class Resizer:
+    def __init__(self, common_size: int = 768):
+        self.common_size = common_size
+
+    def __call__(self, sample: dict) -> dict:
+        sample = dict(sample)
+        cs = self.common_size
+        rgb = sample['rgb']
+        h, w = rgb.shape[:2]
+        if h > w:
+            scale = cs / h
+            rh, rw = cs, int(w * scale)
+        else:
+            scale = cs / w
+            rh, rw = int(h * scale), cs
+
+        def pad_to(img, channels):
+            out = np.zeros((cs, cs, channels) if channels else (cs, cs),
+                           np.float32)
+            out[:img.shape[0], :img.shape[1]] = img
+            return out
+
+        rgb = cv2.resize(rgb.astype(np.float32), (rw, rh),
+                         interpolation=cv2.INTER_LINEAR)
+        sample['rgb'] = pad_to(rgb, 3)
+
+        if sample.get('thermal') is not None:
+            t = cv2.resize(sample['thermal'].astype(np.float32), (rw, rh))
+            sample['thermal'] = pad_to(t, 0)
+        if sample.get('depth') is not None:
+            d = cv2.resize(sample['depth'].astype(np.float32), (rw, rh))
+            sample['depth'] = pad_to(d, 3)
+        if sample.get('audio') is not None:
+            sample['audio'] = cv2.resize(
+                sample['audio'].astype(np.float32), dsize=(cs, cs),
+                interpolation=cv2.INTER_CUBIC)
+        if sample.get('label') is not None and len(sample['label']):
+            lab = np.asarray(sample['label'], np.float32).copy()
+            lab[:, :4] *= scale
+            sample['label'] = lab
+        return sample
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+TRANSFORM_REGISTRY = {
+    'Normalizer': Normalizer,
+    'Resizer': Resizer,
+}
+
+
+def build_transformations(names: str, image_size: int) -> Compose:
+    """From a config string like 'Normalizer,Resizer'."""
+    ts = []
+    for name in names.split(','):
+        name = name.strip()
+        if not name or name == 'None':
+            continue
+        cls = TRANSFORM_REGISTRY[name]
+        ts.append(cls(common_size=image_size) if name == 'Resizer' else cls())
+    return Compose(ts)

@@ -1,0 +1,130 @@
+"""Model registry: string name -> (module, variables), checkpoint-aware.
+
+Mirrors the reference's load_model registry (reference
+src/utils/utils.py:441-590): the same model-type strings resolve to
+EfficientDet-D2 instances with modality-specific input channels (rgb 3 /
+thermal 1 / depth 3 / audio 8) and modality-specific checkpoint paths under
+trained_models/. Checkpoints may be (a) our native orbax format, (b) a
+PyTorch .pth (converted on load via convert.torch_weights), or (c) absent
+-> randomly initialized (the audio student trains from scratch,
+utils.py:547-550).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .efficientdet import EfficientDet
+from .stereosoundnet import StereoSoundNet
+
+logger = logging.getLogger(__name__)
+
+MODALITY_CHANNELS = {'rgb': 3, 'thermal': 1, 'depth': 3, 'audio': 8,
+                     'audio_static': 8, 'audio_student': 8}
+
+MODALITY_CHECKPOINTS = {
+    'rgb': 'yet-another-efficientdet-d2-rgb.pth',
+    'thermal': 'yet-another-efficientdet-d2-thermal.pth',
+    'depth': 'yet-another-efficientdet-d2-depth.pth',
+    'audio_static': 'yet-another-efficientdet-d2-audio.pth',
+    'audio_student': None,  # student trains from scratch
+}
+
+KNOWN_MODEL_TYPES = (
+    'YetAnotherEfficientDet_D2',
+    'YetAnotherEfficientDet_D2_embedding',
+    'YetAnotherEfficientDet_D2_input8',
+    'YetAnotherEfficientDet_D2_input1',
+    'YetAnotherEfficientDetGenerator_D2',
+    'YetAnotherEfficientDetGenerator_D2_STATIC',
+    'YetAnotherEfficientDet_D2_audio',
+    'StereoSoundNet',
+)
+
+
+def _compute_dtype(config) -> Any:
+    name = (config.get('compute_dtype', 'bfloat16')
+            if config is not None else 'bfloat16')
+    return {'bfloat16': jnp.bfloat16, 'float32': jnp.float32,
+            'float16': jnp.float16}[name]
+
+
+def build_model(model_type: str, config, num_classes: int = 20):
+    """Instantiate the module for a registry name (no weights)."""
+    if 'StereoSoundNet' in model_type:
+        return StereoSoundNet(num_classes=num_classes,
+                              dtype=_compute_dtype(config))
+    if 'YetAnotherEfficientDet' not in model_type:
+        raise Exception(f"Unsupported model type {model_type} provided")
+    features_from = (config.get('features_from', 'efficientnet')
+                     if config is not None else 'efficientnet')
+    return EfficientDet(num_classes=num_classes, compound_coef=2,
+                        features_from=features_from,
+                        dtype=_compute_dtype(config))
+
+
+def init_variables(model, in_channels: int, image_size: int, seed: int = 0):
+    dummy = jnp.zeros((1, image_size, image_size, in_channels))
+    return model.init(jax.random.PRNGKey(seed), dummy)
+
+
+def load_model(model_type: str, config, modality: Optional[str] = None,
+               num_classes: int = 20, seed: int = 0
+               ) -> Tuple[Any, Dict]:
+    """Returns (module, variables). Modality decides input channels and the
+    default checkpoint path, as in the reference (utils.py:540-558)."""
+    if model_type not in KNOWN_MODEL_TYPES and \
+            'YetAnotherEfficientDet' not in model_type:
+        raise Exception(f"Unsupported model type {model_type} provided")
+    model = build_model(model_type, config, num_classes)
+
+    in_channels = 3
+    ckpt_name = None
+    if modality is not None:
+        if modality not in MODALITY_CHANNELS:
+            raise Exception(f"Unsupported modality={modality} on load model")
+        in_channels = MODALITY_CHANNELS[modality]
+        ckpt_name = MODALITY_CHECKPOINTS.get(modality)
+    if model_type.endswith('_input8'):
+        in_channels = 8
+    elif model_type.endswith('_input1'):
+        in_channels = 1
+
+    image_size = config.getint('image_size') if config is not None else 768
+    variables = init_variables(model, in_channels, image_size, seed)
+
+    saved_path = (config.get('saved_path', 'trained_models')
+                  if config is not None else 'trained_models')
+    saved_path = saved_path.strip('"')
+    if ckpt_name is not None:
+        path = os.path.join(saved_path, ckpt_name)
+        variables = maybe_load_checkpoint(path, variables)
+        if 'embedding' in model_type:
+            emb = os.path.join(saved_path,
+                               'yet-another-efficientdet-d2-embedding.pth')
+            variables = maybe_load_checkpoint(emb, variables)
+    return model, variables
+
+
+def maybe_load_checkpoint(path: str, variables):
+    """Load weights from .pth (torch) or orbax dir if present; otherwise
+    return the passed-in (random) variables."""
+    if path and os.path.exists(path):
+        if path.endswith(('.pth', '.pth.tar', '.pt')):
+            from ..convert.torch_weights import load_torch_checkpoint
+            variables, report = load_torch_checkpoint(path, variables,
+                                                      strict=False)
+            if report['missing']:
+                logger.warning('checkpoint %s: %d flax paths unmatched',
+                               path, len(report['missing']))
+        else:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            variables = ckptr.restore(os.path.abspath(path), variables)
+    else:
+        logger.info('checkpoint %s absent; using random init', path)
+    return variables

@@ -1,0 +1,73 @@
+"""Separable bicubic resize as two matmuls (cv2.INTER_CUBIC-compatible).
+
+The reference stretches the (80, T, 8) spectrogram to 768x768 with
+cv2.resize(..., interpolation=cv2.INTER_CUBIC)
+(reference src/datasets/transformations.py:443-448,
+src/datasets/MultimodalDetection.py:347-351). OpenCV's bicubic kernel uses
+A = -0.75 with half-pixel centers and replicated borders. We precompute the
+(out, in) interpolation matrices per axis and apply them as two dense
+matmuls — MXU work instead of a gather-heavy kernel, and jit-fusable with
+the rest of the input pipeline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_A = -0.75  # OpenCV's bicubic coefficient
+
+
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (_A + 2.0) * ax3 - (_A + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0,
+                 _A * ax3 - 5.0 * _A * ax2 + 8.0 * _A * ax - 4.0 * _A,
+                 0.0))
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out_size, in_size) bicubic interpolation matrix with half-pixel
+    centers and clamped (replicated) borders, matching cv2.resize."""
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for tap in (-1, 0, 1, 2):
+        w = _cubic_kernel(tap - frac)
+        idx = np.clip(base + tap, 0, in_size - 1)
+        np.add.at(mat, (dst.astype(np.int64), idx), w)
+    return mat.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))
+def resize_bicubic(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., out_h, out_w, C) bicubic resize."""
+    h, w = img.shape[-3], img.shape[-2]
+    wy = jnp.asarray(resize_matrix(out_h, h))
+    wx = jnp.asarray(resize_matrix(out_w, w))
+    x = img.astype(jnp.float32)
+    x = jnp.einsum('oh,...hwc->...owc', wy, x,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum('pw,...owc->...opc', wx, x,
+                   preferred_element_type=jnp.float32)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear variant (cv2 default INTER_LINEAR) for image modalities."""
+    return jax.image.resize(img.astype(jnp.float32),
+                            img.shape[:-3] + (out_h, out_w, img.shape[-1]),
+                            method='linear')
