@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: audio-student end-to-end eval throughput on the TPU chip.
+
+Measures the reference's headline path (evaluate.py student prediction loop,
+SURVEY.md section 6): 8-channel 768x768 log-mel frames -> EfficientDet-D2
+forward -> on-device decode + NMS -> boxes, in frames/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the PyTorch reference's equivalent loop
+measured on this host's CPU-torch install? No — the reference baseline is
+4-GPU hardware we don't have; BASELINE.md records that the reference
+publishes no throughput number. We report the measured PyTorch-CPU
+equivalent when available via BENCH_BASELINE env, else vs_baseline=0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import os as _os
+    # Persistent XLA compilation cache: first compile of the D2 graphs takes
+    # minutes; cached reruns load in seconds.
+    import jax as _jax_cc
+    _jax_cc.config.update('jax_compilation_cache_dir',
+                          _os.environ.get('MMDT_COMPILE_CACHE',
+                                          _os.path.expanduser('~/.cache/mmdt_xla')))
+    _jax_cc.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mm_distillnet_tpu.models.efficientdet import EfficientDet
+    from mm_distillnet_tpu.ops.anchors import anchor_table
+    from mm_distillnet_tpu.ops.postprocess import (class_validity_table,
+                                                   postprocess_detections)
+
+    size = int(os.environ.get('BENCH_IMAGE_SIZE', '768'))
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    iters = int(os.environ.get('BENCH_ITERS', '20'))
+
+    model = EfficientDet(num_classes=20, compound_coef=2,
+                         dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (batch, size, size, 8), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    anchors = jnp.asarray(anchor_table(size))
+    class_valid = jnp.asarray(class_validity_table(20, [6]))
+
+    @jax.jit
+    def predict(variables, x):
+        out = model.apply(variables, x, train=False)
+        dets = postprocess_detections(
+            out.classification, out.regression, anchors, class_valid,
+            image_size=size, num_candidates=256, max_detections=32)
+        return dets.boxes, dets.scores, dets.classes, dets.valid
+
+    # warm-up / compile
+    jax.block_until_ready(predict(variables, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = predict(variables, x)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    baseline = float(os.environ.get('BENCH_BASELINE', '0') or 0)
+    vs = fps / baseline if baseline > 0 else 0.0
+    print(json.dumps({
+        'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(vs, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -94,3 +94,73 @@ class BaseDataset:
     @property
     def num_classes(self) -> int:
         return len(self.classes)
+
+    def refine_ids(self, model, config) -> None:
+        """Prune the id list to frames the RGB teacher can confidently
+        predict on (reference src/datasets/BaseDataset.py:190-310): runs
+        the teacher once per frame, caches
+        `{data_path}/{teacher}_{mode}{drive_type}_predictions.csv` with
+        (id, num_predictions, max_confidence) rows, then keeps ids whose
+        best score exceeds 0.40 (EfficientDet threshold).
+
+        `model` is a (module, variables) pair. With use_labels=True the
+        pruning uses dataset annotations instead (frames with >1 valid
+        label)."""
+        import re as _re
+
+        if getattr(self, 'use_labels', False):
+            valid = []
+            for frame_id in self.ids:
+                labels = self.get_annotations(frame_id)
+                if len(labels) < 1:
+                    continue
+                if len(filter_labels(np.asarray(labels),
+                                     self.valid_classes_dict)) > 1:
+                    valid.append(frame_id)
+            self.ids = sorted(set(self.ids) & set(valid))
+            self.num_images = len(self.ids)
+            return
+
+        teacher = config.get('teacher', 'YetAnotherEfficientDet_D2')
+        pred_file = (f"{self.data_path}/{teacher}_{self.mode}"
+                     f"{self.drive_type}_predictions.csv")
+        if not os.path.exists(pred_file):
+            import jax.numpy as jnp
+
+            from ..evaluation import make_predict_fn
+            from .base import prediction_to_label_lut, valid_prediction_ids
+            from ..ops.postprocess import class_validity_table
+
+            module, variables = model
+            predict = make_predict_fn(module, self.image_size, config)
+            class_valid = jnp.asarray(class_validity_table(
+                module.num_classes,
+                valid_prediction_ids(self.valid_classes_dict)))
+            p2l = jnp.asarray(prediction_to_label_lut(
+                self.valid_classes_dict, module.num_classes))
+            rows = []
+            for i, frame_id in enumerate(self.ids):
+                sample = self[i]
+                rgb = jnp.asarray(sample['rgb'][None])
+                pred_rows, _ = predict(variables, rgb, class_valid, p2l)
+                pr = np.asarray(pred_rows)[0]
+                valid_rows = pr[pr[:, 5] != -1]
+                max_conf = float(valid_rows[:, 4].max()) if len(valid_rows) \
+                    else 0.0
+                rows.append([frame_id, len(valid_rows), max_conf])
+            np.savetxt(pred_file, np.asarray(rows, dtype=object),
+                       delimiter=',', fmt='%s')
+
+        import pandas as pd
+        df = pd.read_csv(pred_file,
+                         names=['ID', 'Num_pred', 'min_confidence'],
+                         dtype={'ID': str, 'Num_pred': np.int32,
+                                'min_confidence': np.float32})
+        minconf = 0.40  # EfficientDet teacher threshold
+        valid_ids = df[df['min_confidence'] > minconf]['ID'].tolist()
+        id_filter = config.get('id_filter', 'None')
+        if 'None' not in id_filter:
+            r = _re.compile(id_filter)
+            valid_ids = [v for v in valid_ids if r.match(v)]
+        self.ids = sorted(set(self.ids) & set(valid_ids))
+        self.num_images = len(self.ids)

@@ -103,6 +103,50 @@ class MultimodalDetection(BaseDataset):
         return {'rgb': rgb, 'thermal': thermal, 'depth': depth,
                 'audio': audio, 'label': None, 'id': frame_id}
 
+    def merge_audios(self, id1: str, id2: str) -> np.ndarray:
+        """Mix two frames' audio at the waveform level and recompute the
+        stretched spectrogram (reference MultimodalDetection.merge_audios,
+        src/datasets/MultimodalDetection.py:329-353: librosa-load both mp3
+        sets, average waveforms, melspectrogram, bicubic 768 stretch).
+        Requires decodable audio files (mp3 via ffmpeg / wav natively)."""
+        import cv2 as _cv2
+        import jax.numpy as jnp
+
+        from mp3_to_pkl import decode_audio
+        from ..ops.audio import melspectrogram
+
+        _, _, _, paths1, _ = self.get_paths(id1)
+        _, _, _, paths2, _ = self.get_paths(id2)
+        specs = []
+        for p1, p2 in zip(paths1, paths2):
+            for ext in ('.mp3', '.wav'):
+                c1 = p1.replace('.pkl', ext)
+                c2 = p2.replace('.pkl', ext)
+                if os.path.exists(c1) and os.path.exists(c2):
+                    break
+            a1 = decode_audio(c1)
+            a2 = decode_audio(c2)
+            n = min(len(a1), len(a2))
+            mixed = (a1[:n] + a2[:n]) / 2
+            specs.append(np.asarray(melspectrogram(jnp.asarray(mixed[None])))[0])
+        spec = np.transpose(np.stack(specs), (1, 2, 0))
+        size = self.image_size
+        return _cv2.resize(spec, dsize=(size, size),
+                           interpolation=_cv2.INTER_CUBIC)
+
+    def yield_batch(self, batch_size: int, ids):
+        """Random day-frame audio mixing for traditional_nms_kdlist_augmented
+        (reference MultimodalDetection.py:355-367): returns (labels, audio)
+        where each batch element's audio is mixed with a random other
+        daytime frame."""
+        rng = np.random.default_rng()
+        audios, labels = [], []
+        for i in range(batch_size):
+            other = self.ids[int(rng.integers(0, len(self.ids)))]
+            audios.append(self.merge_audios(ids[i], other))
+            labels.append(None)
+        return labels, np.stack(audios)
+
     def __getitem__(self, item: int) -> Dict:
         sample = self._load_raw(self.ids[item])
         if self.normalize:

@@ -40,6 +40,20 @@ class SyntheticMultimodal(BaseDataset):
             boxes.append([x1, y1, x1 + w, y1 + h, self.car_label])
         return np.asarray(boxes, np.float32)
 
+    def yield_batch(self, batch_size: int, ids):
+        """Audio-mix machinery for traditional_nms_kdlist_augmented: mixes
+        each frame's audio with a random other frame (labels become the
+        union), mirroring MultimodalDetection.yield_batch."""
+        rng = np.random.default_rng(self.seed + 777)
+        audios, labels = [], []
+        for i in range(batch_size):
+            a = self[self.ids.index(ids[i])] if ids[i] in self.ids else \
+                self[i % self.num_images]
+            b = self[int(rng.integers(0, self.num_images))]
+            audios.append((a['audio'] + b['audio']) / 2)
+            labels.append(np.concatenate([a['label'], b['label']], axis=0))
+        return labels, np.stack(audios)
+
     def __getitem__(self, item: int) -> Dict:
         size = self.image_size
         rng = np.random.default_rng(self.seed + item)

@@ -54,6 +54,10 @@ class DistillConfig(NamedTuple):
     mta_parity: bool = True
     audio_augmentation_merge: bool = False
     pl: PseudoLabelConfig = PseudoLabelConfig(image_size=768)
+    # criterion selection (reference extract_criterions_from_config,
+    # src/utils/utils.py:1556-1668): main_loss is YetAnotherFocalLoss;
+    # kd_loss in {MTALoss, AttentionLoss, None}
+    kd_loss: str = 'MTALoss'
 
 
 def merge_audio_batch01(audio: jnp.ndarray) -> jnp.ndarray:
@@ -185,7 +189,13 @@ def compute_distill_losses(student_model, params, batch_stats,
     # ---- KD losses ----
     kd_losses = []
     teacher_feats = [f for (_, _, f) in t_outs.values()]
-    if 'kdlist' in method:
+    if cfg.kd_loss in (None, 'None'):
+        kd_losses.append(jnp.zeros((1,)))
+    elif cfg.kd_loss == 'AttentionLoss':
+        from ..losses.aux_losses import attention_transfer_loss
+        for ft in teacher_feats:
+            kd_losses.append(attention_transfer_loss(feats_s, ft, cfg.p))
+    elif 'kdlist' in method:
         kd_losses.append(mta_loss(feats_s, teacher_feats, cfg.T, cfg.p,
                                   cfg.mta_parity))
     else:
@@ -254,7 +264,7 @@ def make_eval_loss_step(student_model, teacher_models, cfg: DistillConfig,
 
 
 def init_train_state(student_model, rng, sample_input, tx) -> TrainState:
-    variables = student_model.init(rng, sample_input)
+    variables = jax.jit(student_model.init)(rng, sample_input)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = tx.init(params)

@@ -1,0 +1,245 @@
+"""Evaluation driver: mAP sweep + central distances + CSV artifacts.
+
+Mirrors the reference evaluate() (reference src/utils/utils.py:2018-2181)
+and its prediction loops (get_predictions_multiteacher utils.py:1720-1890):
+
+- when all of rgb/thermal/depth are enabled the testing point is 'ALL'
+  (teachers fused by NMS into pseudo-ground-truth); otherwise one testing
+  point per enabled teacher modality;
+- student predictions come from the audio branch, decoded + NMS'd
+  ON DEVICE in fixed shapes (no per-batch host NMS round-trip — the
+  reference's main eval bottleneck, SURVEY.md section 3.3);
+- metrics: AP@0.5:0.05:0.95 sweep (ap_per_class), CDx/CDy at IoU=0.5;
+- artifacts: `{exp_name}/results.{rank}.csv` with columns
+  [exp_name, modality, AP@Ave, AP@0.5, AP@0.75, CDx, CDy] and
+  `{exp_name}/resources.{rank}.csv` with [model, Time2Predict, TotalParams,
+  TrainParams];
+- optional persistence of fused labels to
+  `{data_path}/{drive}/annotations/{ts}.all.txt` (utils.py:1878-1888).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .data.base import prediction_to_label_lut, valid_prediction_ids
+from .data.loader import DataLoader
+from .distill.pseudo_labels import (PseudoLabelConfig, fuse_teacher_labels,
+                                    teacher_detections)
+from .ops.anchors import anchor_table
+from .ops.postprocess import (class_validity_table, detections_to_labels,
+                              postprocess_detections)
+from .train.trainer import distill_config_from
+from .utils.metrics import (ap_per_class, get_batch_central_distances,
+                            get_batch_statistics, labels_to_lists)
+
+logger = logging.getLogger(__name__)
+
+
+def count_params(variables) -> int:
+    return int(sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(variables.get('params',
+                                                           variables))))
+
+
+def make_predict_fn(model, image_size: int, config):
+    """Jitted: input image -> padded label rows [x1,y1,x2,y2,score,label]."""
+    anchors = jnp.asarray(anchor_table(image_size))
+    conf = config.getfloat('conf_threshold', fallback=0.3)
+    nms_thr = config.getfloat('nms_threshold', fallback=0.5)
+    cands = config.getint('nms_candidates', fallback=512)
+    max_det = config.getint('max_detections', fallback=100)
+
+    @jax.jit
+    def predict(variables, x, class_valid, pred_to_label):
+        out = model.apply(variables, x, train=False)
+        dets = postprocess_detections(
+            out.classification, out.regression, anchors, class_valid,
+            image_size=image_size, conf_threshold=conf,
+            nms_threshold=nms_thr, num_candidates=cands,
+            max_detections=max_det)
+        labels = detections_to_labels(dets, pred_to_label, image_size,
+                                      include_scores=True)
+        return labels, out.features
+
+    return predict
+
+
+def make_fused_teacher_fn(teacher_models: Dict[str, Any], image_size: int,
+                          config):
+    """Jitted: all teacher inputs -> fused pseudo-GT label rows."""
+    cfg = distill_config_from(config, image_size)
+    anchors = jnp.asarray(anchor_table(image_size))
+
+    @jax.jit
+    def fused(teacher_variables, batch, class_valid, pred_to_label):
+        per_teacher = []
+        for modality, model in teacher_models.items():
+            out = model.apply(teacher_variables[modality], batch[modality],
+                              train=False)
+            dets = teacher_detections(out.classification, out.regression,
+                                      anchors, class_valid, cfg.pl)
+            per_teacher.append(detections_to_labels(
+                dets, pred_to_label, image_size, include_scores=True))
+        return fuse_teacher_labels(per_teacher, cfg.pl)
+
+    return fused
+
+
+def _rows_with_scores_to_lists(rows: np.ndarray) -> List[List[List[float]]]:
+    out = []
+    for i in range(rows.shape[0]):
+        out.append([r.tolist() for r in rows[i] if r[5] != -1])
+    return out
+
+
+def _save_fused_annotations(config, ids, fused_rows):
+    data_path = config.get('data_path', 'data')
+    for frame_id, rows in zip(ids, labels_to_lists(fused_rows)):
+        try:
+            drive, ts = frame_id.split('/')
+        except ValueError:
+            continue
+        ann_dir = os.path.join(data_path, drive, 'annotations')
+        os.makedirs(ann_dir, exist_ok=True)
+        with open(os.path.join(ann_dir, f'{ts}.all.txt'), 'w') as f:
+            for r in rows:
+                f.write(' '.join(str(int(v)) for v in r[:4]) +
+                        f' {int(r[4])}\n')
+
+
+def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
+             student_model: Tuple[Any, Any],
+             test_set, config) -> pd.DataFrame:
+    """teacher_models: {modality: (module, variables)};
+    student_model: (module, variables). Returns the ap_table DataFrame and
+    writes results/resources CSVs."""
+    logger.warning('Beginning evaluation of student model performance')
+    rank = config.getint('rank', fallback=0) or 0
+    image_size = config.getint('image_size')
+    s_module, s_vars = student_model
+    num_classes = s_module.num_classes
+
+    vcd = test_set.valid_classes_dict
+    class_valid = jnp.asarray(class_validity_table(
+        num_classes, valid_prediction_ids(vcd)))
+    pred_to_label = jnp.asarray(prediction_to_label_lut(vcd, num_classes))
+
+    predict = make_predict_fn(s_module, image_size, config)
+    testing_points = list(teacher_models.keys())
+    if (config.getboolean('use_thermal', fallback=False)
+            and config.getboolean('use_depth', fallback=False)
+            and config.getboolean('use_rgb', fallback=True)
+            and len(teacher_models) > 1):
+        testing_points = ['ALL']
+
+    loader = DataLoader(test_set, config.getint('batch_size'),
+                        shuffle=False, drop_last=False,
+                        num_workers=config.getint('num_workers', fallback=4))
+    fast_run = config.getboolean('fast_run', fallback=False)
+    save_ann = config.getboolean('save_fused_annotations', fallback=False)
+
+    ap_table = []
+    for modality in testing_points:
+        if modality == 'ALL':
+            fused_fn = make_fused_teacher_fn(
+                {m: mv[0] for m, mv in teacher_models.items()},
+                image_size, config)
+            t_vars = {m: mv[1] for m, mv in teacher_models.items()}
+        else:
+            fused_fn = make_fused_teacher_fn(
+                {modality: teacher_models[modality][0]}, image_size, config)
+            t_vars = {modality: teacher_models[modality][1]}
+
+        all_predictions, all_labels = [], []
+        target_classes: List[float] = []
+        n_frames = 0
+        start_time = time.time()
+        for bi, batch in enumerate(loader):
+            audio = jnp.asarray(batch['audio'])
+            pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)
+            if config.getboolean('use_labels', fallback=False) and \
+                    'label' in batch and (batch['label'][..., 4] != -1).any():
+                fused = batch['label']
+            else:
+                dev_inputs = {m: jnp.asarray(batch[m]) for m in t_vars}
+                fused = np.asarray(fused_fn(t_vars, dev_inputs, class_valid,
+                                            pred_to_label))
+            preds = _rows_with_scores_to_lists(np.asarray(pred_rows))
+            labels = labels_to_lists(np.asarray(fused))
+            all_predictions.append(preds)
+            all_labels.append(labels)
+            for img_labels in labels:
+                target_classes.extend([r[4] for r in img_labels])
+            n_frames += audio.shape[0]
+            if save_ann:
+                _save_fused_annotations(config, batch['id'],
+                                        np.asarray(fused))
+            if fast_run and bi >= 1:
+                break
+        elapsed = time.time() - start_time
+
+        total_params = count_params(s_vars)
+        resources = pd.DataFrame([{
+            'model': config.get('student', 'student'),
+            'Time2Predict': elapsed,
+            'TotalParams': total_params,
+            'TrainParams': total_params,
+            'Frames': n_frames,
+            'FramesPerSec': n_frames / elapsed if elapsed > 0 else 0.0,
+        }])
+        exp_name = config.get('exp_name', 'run')
+        os.makedirs(exp_name, exist_ok=True)
+        resources.to_csv(os.path.join(exp_name, f'resources.{rank}.csv'),
+                         index=False)
+
+        ap_modality = {'exp_name': exp_name, 'modality': modality,
+                       'AP@Ave': 0., 'AP@0.5': 0., 'AP@0.75': 0.,
+                       'CDx': 0., 'CDy': 0.}
+        ap_record = []
+        target_cls_arr = np.asarray(target_classes)
+        for iou in np.around(np.arange(0.5, 0.95, 0.05), 2):
+            sample_metrics = []
+            cd_x, cd_y = [], []
+            for preds, labels in zip(all_predictions, all_labels):
+                sample_metrics += get_batch_statistics(preds, labels, iou)
+                cdx, cdy = get_batch_central_distances(
+                    preds, labels, image_size, image_size)
+                cd_x.extend(cdx)
+                cd_y.extend(cdy)
+            if not any(np.asarray(m[0]).size for m in sample_metrics):
+                mean = 0.0
+                if iou == 0.5:
+                    ap_modality['CDx'] = 100.
+                    ap_modality['CDy'] = 100.
+            else:
+                tps, scores, pls = [np.concatenate(x, 0)
+                                    for x in zip(*sample_metrics)]
+                _, _, AP, _, _, _ = ap_per_class(tps, scores, pls,
+                                                 target_cls_arr)
+                mean = float(AP.mean()) if AP.size else 0.0
+                if iou == 0.5:
+                    ap_modality['AP@0.5'] = mean * 100
+                    ap_modality['CDx'] = float(np.mean(cd_x)) * 100 \
+                        if cd_x else 100.
+                    ap_modality['CDy'] = float(np.mean(cd_y)) * 100 \
+                        if cd_y else 100.
+                if iou == 0.75:
+                    ap_modality['AP@0.75'] = mean * 100
+            ap_record.append(mean)
+        ap_modality['AP@Ave'] = float(np.mean(ap_record)) * 100
+        ap_table.append(ap_modality)
+        logger.warning('modality %s: %s', modality, ap_modality)
+
+    ap_table = pd.DataFrame(ap_table)
+    ap_table.to_csv(os.path.join(config.get('exp_name', 'run'),
+                                 f'results.{rank}.csv'), index=False)
+    return ap_table

@@ -69,7 +69,9 @@ def build_model(model_type: str, config, num_classes: int = 20):
 
 def init_variables(model, in_channels: int, image_size: int, seed: int = 0):
     dummy = jnp.zeros((1, image_size, image_size, in_channels))
-    return model.init(jax.random.PRNGKey(seed), dummy)
+    # jit the init: on TPU an eager init dispatches every op individually
+    # (minutes); a single compiled program initializes in seconds.
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
 
 
 def load_model(model_type: str, config, modality: Optional[str] = None,

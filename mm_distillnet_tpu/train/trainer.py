@@ -1,0 +1,237 @@
+"""Training orchestration: epoch loop, validation, best tracking, early stop.
+
+Public API mirrors the reference trainer
+(`train(teacher_models, student_model, config, training_set, val_set,
+method)`, reference src/optimization/train_methods.py:765-1080, with the
+inner loop of src/optimization/traditional.py:45-238), re-targeted at the
+single fused jit step:
+
+- optimizer/scheduler from config (optim.py);
+- resume from `checkpoint.{rank}` when config resume=True;
+- teachers frozen (their variables are inputs to the compiled step, never
+  updated);
+- per-iteration scalars with the reference's tensorboard tag names;
+- validation every `val_interval` epochs -> ReduceLROnPlateau/metric-driven
+  scheduling, best-checkpoint copy, early stop after `es_patience`
+  non-improving validations.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULTS
+from ..data.loader import DataLoader
+from ..distill.pseudo_labels import PseudoLabelConfig
+from ..distill.train_step import (DistillConfig, TrainState,
+                                  init_train_state, make_eval_loss_step,
+                                  make_train_step)
+from ..data.base import prediction_to_label_lut, valid_prediction_ids
+from ..ops.anchors import anchor_table
+from ..ops.postprocess import class_validity_table
+from ..parallel.mesh import (create_mesh, pad_batch_to_devices, replicate,
+                             shard_batch)
+from ..utils.logging_utils import ScalarWriter, setup_run_logging
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .optim import build_optimizer, build_scheduler, set_learning_rate
+
+logger = logging.getLogger(__name__)
+
+
+def distill_config_from(config, image_size: int) -> DistillConfig:
+    return DistillConfig(
+        train_method=config.get('train_method', 'traditional_nms_augmented'),
+        w_main=config.getfloat('w_main', fallback=1.0),
+        w_div=config.getfloat('w_div', fallback=1.0),
+        w_kd=config.getfloat('w_kd', fallback=0.005),
+        T=config.getfloat('T', fallback=9.0),
+        p=config.getfloat('p', fallback=2.0),
+        mta_parity=config.getboolean('mta_parity_mode', fallback=True),
+        kd_loss=config.get('kd_loss', 'MTALoss'),
+        audio_augmentation_merge=config.getboolean(
+            'audio_augmentation_merge', fallback=False) or False,
+        pl=PseudoLabelConfig(
+            image_size=image_size,
+            conf_threshold=config.getfloat('conf_threshold', fallback=0.3),
+            nms_threshold=config.getfloat('nms_threshold', fallback=0.5),
+            num_candidates=config.getint('nms_candidates', fallback=512),
+            max_det_per_teacher=config.getint('max_det_per_teacher',
+                                              fallback=32),
+            max_gt=config.getint('max_gt', fallback=64)),
+    )
+
+
+def _label_tables(dataset, num_classes: int):
+    vcd = dataset.valid_classes_dict
+    class_valid = jnp.asarray(class_validity_table(
+        num_classes, valid_prediction_ids(vcd)))
+    pred_to_label = jnp.asarray(prediction_to_label_lut(vcd, num_classes))
+    return class_valid, pred_to_label
+
+
+def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int):
+    arrays = {k: v for k, v in batch.items() if k != 'id'}
+    arrays, orig = pad_batch_to_devices(arrays, n_dev)
+    return shard_batch(mesh, arrays), orig
+
+
+def train(teacher_models: Dict[str, Tuple[Any, Any]],
+          student_model: Tuple[Any, Any],
+          config, training_set, val_set,
+          method: Optional[str] = None) -> TrainState:
+    """teacher_models: {modality: (module, variables)};
+    student_model: (module, variables). Returns the final TrainState."""
+    rank = config.getint('rank', fallback=0) or 0
+    setup_run_logging(config, rank)
+    writer = ScalarWriter(config, rank)
+
+    method = method or config.get('train_method')
+    image_size = config.getint('image_size')
+    num_classes = student_model[0].num_classes
+    cfg = distill_config_from(config, image_size)._replace(
+        train_method=method)
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    anchors = jnp.asarray(anchor_table(image_size))
+    class_valid, pred_to_label = _label_tables(training_set, num_classes)
+
+    s_module, s_vars = student_model
+    t_modules = {m: mv[0] for m, mv in teacher_models.items()}
+    t_vars = replicate(mesh, {m: mv[1] for m, mv in teacher_models.items()})
+
+    tx = build_optimizer(config)
+    scheduler = build_scheduler(config)
+    # Copy the student variables into the state: the compiled step donates
+    # its input state buffers, and donation must never consume arrays the
+    # caller still owns (e.g. for a later evaluate()).
+    init_params = jax.tree_util.tree_map(jnp.array, s_vars['params'])
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=init_params,
+                       batch_stats=jax.tree_util.tree_map(
+                           jnp.array, s_vars.get('batch_stats', {})),
+                       opt_state=tx.init(init_params))
+
+    start_epoch, best_loss, best_epoch = 0, float(np.inf), 0
+    if config.getboolean('resume', fallback=False):
+        state, start_epoch, best_loss, best_epoch = restore_checkpoint(
+            config, state, scheduler, rank)
+        if start_epoch:
+            logger.info('resumed from epoch %d (best %.4f @ %d)',
+                        start_epoch, best_loss, best_epoch)
+    state = replicate(mesh, state)
+
+    train_step = jax.jit(
+        make_train_step(s_module, t_modules, tx, cfg, anchors, class_valid,
+                        pred_to_label),
+        donate_argnums=(0,))
+    eval_step = jax.jit(
+        make_eval_loss_step(s_module, t_modules, cfg, anchors, class_valid,
+                            pred_to_label))
+
+    batch_size = config.getint('batch_size')
+    num_workers = config.getint('num_workers', fallback=4)
+    max_gt = cfg.pl.max_gt
+    seed = config.getint('seed', fallback=0)
+    loader = DataLoader(training_set, batch_size, shuffle=True,
+                        num_workers=num_workers, max_gt=max_gt, seed=seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+    val_loader = DataLoader(val_set, batch_size, shuffle=False,
+                            num_workers=num_workers, max_gt=max_gt,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count()) \
+        if val_set is not None else None
+
+    rng = jax.random.PRNGKey(seed if seed >= 0 else 0)
+    num_epoches = config.getint('num_epoches')
+    val_interval = config.getint('val_interval', fallback=5)
+    es_patience = config.getint('es_patience', fallback=5)
+    fast_run = config.getboolean('fast_run', fallback=False)
+    num_iter = len(loader)
+
+    import random as _random
+    kdlist_aug = method == 'traditional_nms_kdlist_augmented'
+
+    epoch_loss = float(np.inf)
+    for epoch in range(start_epoch, num_epoches):
+        loader.set_epoch(epoch)
+        t_epoch = time.time()
+        for it, batch in enumerate(loader):
+            # dataset-level audio mixing with the reference's ramping
+            # probability schedule (traditional.py:113-117)
+            if kdlist_aug and hasattr(training_set, 'yield_batch') and \
+                    _random.random() > max(0.5, 0.5 + 0.5 *
+                                           (1 - epoch / 50)):
+                try:
+                    labels, audio = training_set.yield_batch(
+                        batch['audio'].shape[0], batch['id'])
+                    batch['audio'] = audio.astype(np.float32)
+                    if labels and labels[0] is not None:
+                        from ..data.loader import collate as _collate
+                        merged = _collate(
+                            [{'label': l, 'id': i, 'audio': a}
+                             for l, i, a in zip(labels, batch['id'],
+                                                audio)], max_gt)
+                        batch['label'] = merged['label']
+                except Exception as e:
+                    logger.warning('yield_batch mixing failed: %s', e)
+            dev_batch, _ = _device_batch(batch, mesh, n_dev)
+            state, metrics = train_step(state, t_vars, dev_batch, rng)
+            if it % 10 == 0 or it == num_iter - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                step_id = epoch * num_iter + it
+                writer.add_scalar('Train/Total_loss', m['Total_loss'], step_id)
+                writer.add_scalar('Train_/Regression_loss',
+                                  m['Regression_loss'], step_id)
+                writer.add_scalar('Train/Class_loss', m['Class_loss'], step_id)
+                writer.add_scalar('Train/KLDiv', m['KLDiv'], step_id)
+                writer.add_scalar('Train/KD', m['KD'], step_id)
+                logger.info('epoch %d/%d it %d/%d loss %.4f (reg %.4f cls '
+                            '%.4f kd %.4f)', epoch + 1, num_epoches, it + 1,
+                            num_iter, m['Total_loss'], m['Regression_loss'],
+                            m['Class_loss'], m['KD'])
+                epoch_loss = m['Total_loss']
+            if fast_run and it >= 1:
+                break
+        logger.info('epoch %d took %.1fs', epoch + 1, time.time() - t_epoch)
+
+        new_lr = scheduler.step(epoch_loss)
+        state = state._replace(
+            opt_state=set_learning_rate(state.opt_state, new_lr))
+
+        if val_loader is not None and (epoch + 1) % val_interval == 0:
+            val_metrics = []
+            for vit, batch in enumerate(val_loader):
+                dev_batch, _ = _device_batch(batch, mesh, n_dev)
+                val_metrics.append(
+                    {k: float(v)
+                     for k, v in eval_step(state, t_vars, dev_batch).items()})
+                if fast_run and vit >= 1:
+                    break
+            val_loss = float(np.mean([m['Total_loss'] for m in val_metrics]))
+            for tag in ('Total_loss', 'Regression_loss', 'Class_loss', 'KD'):
+                writer.add_scalar(
+                    f'Test/{tag}',
+                    float(np.mean([m[tag] for m in val_metrics])), epoch)
+            is_best = val_loss < best_loss
+            if is_best:
+                best_loss, best_epoch = val_loss, epoch
+            save_checkpoint(config, jax.device_get(state), epoch, best_loss,
+                            best_epoch, scheduler.state_dict(), rank,
+                            is_best=is_best)
+            logger.info('val loss %.4f (best %.4f @ epoch %d)', val_loss,
+                        best_loss, best_epoch + 1)
+            if epoch - best_epoch > es_patience:
+                logger.info('early stop at epoch %d', epoch + 1)
+                break
+        if fast_run and epoch >= start_epoch:
+            break
+
+    writer.close()
+    return jax.device_get(state)

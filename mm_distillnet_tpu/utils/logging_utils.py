@@ -1,0 +1,68 @@
+"""Logging + scalar observability.
+
+Reproduces the reference's three channels (SURVEY.md section 5):
+(1) python logging with a per-run, per-rank DEBUG FileHandler
+    `{exp_name}/{exp_name}.{rank}.log` (reference train.py:283-292);
+(2) tensorboardX scalars with the reference's tag names (Train/Total_loss,
+    Train/Class_loss, ..., reference src/optimization/traditional.py:210-236)
+    plus an `all_logs.{rank}.json` export (train_methods.py:1067);
+(3) CSV artifacts (results/resources) written by the evaluate driver.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Optional
+
+
+def setup_run_logging(config, rank: int = 0) -> logging.Logger:
+    exp_name = config.get('exp_name', 'run')
+    os.makedirs(exp_name, exist_ok=True)
+    logger = logging.getLogger('mm_distillnet_tpu')
+    logger.setLevel(logging.DEBUG)
+    path = os.path.join(exp_name, f'{exp_name}.{rank}.log')
+    if not any(isinstance(h, logging.FileHandler) and
+               getattr(h, 'baseFilename', '') == os.path.abspath(path)
+               for h in logger.handlers):
+        fh = logging.FileHandler(path)
+        fh.setLevel(logging.DEBUG)
+        fh.setFormatter(logging.Formatter(
+            '%(asctime)s %(levelname)s %(name)s: %(message)s'))
+        logger.addHandler(fh)
+    return logger
+
+
+class ScalarWriter:
+    """tensorboardX writer + JSON scalar accumulator (per rank)."""
+
+    def __init__(self, config, rank: int = 0):
+        self.rank = rank
+        self.scalars: Dict[str, Dict[int, float]] = {}
+        self.exp_name = config.get('exp_name', 'run')
+        os.makedirs(self.exp_name, exist_ok=True)
+        log_path = config.get('log_path', 'tensorboard')
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            os.makedirs(log_path, exist_ok=True)
+            self._tb = SummaryWriter(
+                logdir=os.path.join(log_path, f'rank{rank}'))
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        value = float(value)
+        self.scalars.setdefault(tag, {})[int(step)] = value
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def export_json(self):
+        path = os.path.join(self.exp_name, f'all_logs.{self.rank}.json')
+        with open(path, 'w') as f:
+            json.dump(self.scalars, f)
+
+    def close(self):
+        self.export_json()
+        if self._tb is not None:
+            self._tb.close()

@@ -163,7 +163,7 @@ def test_space_to_depth_matches_torch_reorg():
 def test_stereosoundnet_shapes():
     m = StereoSoundNet(num_classes=20, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 8))
-    v = m.init(jax.random.PRNGKey(0), x)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out, features = m.apply(v, x)
     # 5 maxpools -> stride 32
     assert out.shape == (1, 4, 4, 5 * 25)

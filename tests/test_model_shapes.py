@@ -22,7 +22,7 @@ def test_b2_block_expansion():
 def test_backbone_pyramid_shapes():
     model = EfficientNetFeatures(compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     feats = model.apply(params, x)
     # [P2, P3, P4, P5] at strides 4, 8, 16, 32
     assert [f.shape for f in feats] == [
@@ -45,7 +45,7 @@ def test_efficientdet_forward_shapes(in_ch):
     size = 128
     model = EfficientDet(num_classes=20, compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((2, size, size, in_ch))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     n = num_anchors(size)
     assert out.classification.shape == (2, n, 20)
@@ -62,7 +62,7 @@ def test_efficientdet_forward_shapes(in_ch):
 def test_batchnorm_stats_update_in_train_mode():
     model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 3))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     out, mutated = model.apply(
         variables, x, train=True, mutable=['batch_stats'],
         rngs={'dropout': jax.random.PRNGKey(2)})

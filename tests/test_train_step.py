@@ -36,7 +36,7 @@ def _setup(method='traditional_nms_augmented', batch=2):
         'audio': jax.random.normal(rng, (batch, SIZE, SIZE, 8)),
     }
     teacher_vars = {
-        m: t.init(jax.random.PRNGKey(i + 1), batch_data[m])
+        m: jax.jit(t.init)(jax.random.PRNGKey(i + 1), batch_data[m])
         for i, (m, t) in enumerate(teachers.items())
     }
     tx = build_optimizer(config)
@@ -100,3 +100,29 @@ def test_train_step_sharded_over_mesh():
     # the updated params stay replicated (no per-device divergence)
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert len(leaf.sharding.device_set) in (1, 8)
+
+
+@pytest.mark.parametrize('kd', ['None', 'AttentionLoss'])
+def test_kd_loss_dispatch(kd):
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup()
+    cfg = cfg._replace(kd_loss=kd)
+    step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                   class_valid, pred_to_label))
+    _, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(3))
+    kd_val = float(metrics['KD'])
+    assert np.isfinite(kd_val)
+    if kd == 'None':
+        assert kd_val == 0.0
+    else:
+        assert kd_val >= 0.0  # AT loss is an MSE
+
+
+def test_synthetic_yield_batch_mixing():
+    from mm_distillnet_tpu.config import default_config
+    from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
+    config = default_config(image_size=128, synthetic_size=4)
+    ds = SyntheticMultimodal(config, 'train')
+    labels, audio = ds.yield_batch(2, [ds.ids[0], ds.ids[1]])
+    assert audio.shape == (2, 128, 128, 8)
+    assert labels[0].shape[1] == 5 and len(labels[0]) >= 2
