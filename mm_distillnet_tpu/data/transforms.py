@@ -77,6 +77,54 @@ class Resizer:
         return sample
 
 
+class HSVAdjust:
+    """Random hue/saturation/value jitter on RGB (available-but-inactive in
+    the reference, src/datasets/transformations.py HSVAdjust)."""
+
+    def __init__(self, hue: float = 0.5, saturation: float = 1.5,
+                 value: float = 1.5, prob: float = 0.5):
+        self.hue, self.saturation, self.value = hue, saturation, value
+        self.prob = prob
+
+    def __call__(self, sample: dict) -> dict:
+        if np.random.uniform() > self.prob:
+            return sample
+        sample = dict(sample)
+        rgb = np.clip(sample['rgb'].astype(np.float32), 0, 1)
+        hsv = cv2.cvtColor(rgb, cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0] +
+                       np.random.uniform(-self.hue, self.hue) * 360) % 360
+        hsv[..., 1] *= np.random.uniform(1 / self.saturation, self.saturation)
+        hsv[..., 2] *= np.random.uniform(1 / self.value, self.value)
+        hsv[..., 1:] = np.clip(hsv[..., 1:], 0, 1)
+        sample['rgb'] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        return sample
+
+
+class HorizontalFlip:
+    """Random horizontal flip of all image modalities + label boxes
+    (RGBFlip in the reference transform set)."""
+
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def __call__(self, sample: dict) -> dict:
+        if np.random.uniform() > self.prob:
+            return sample
+        sample = dict(sample)
+        width = sample['rgb'].shape[1]
+        for key in ('rgb', 'thermal', 'depth'):
+            if sample.get(key) is not None:
+                sample[key] = np.ascontiguousarray(sample[key][:, ::-1])
+        if sample.get('label') is not None and len(sample['label']):
+            lab = np.asarray(sample['label'], np.float32).copy()
+            x1 = lab[:, 0].copy()
+            lab[:, 0] = width - lab[:, 2]
+            lab[:, 2] = width - x1
+            sample['label'] = lab
+        return sample
+
+
 class Compose:
     def __init__(self, transforms):
         self.transforms = list(transforms)
@@ -90,6 +138,8 @@ class Compose:
 TRANSFORM_REGISTRY = {
     'Normalizer': Normalizer,
     'Resizer': Resizer,
+    'HSVAdjust': HSVAdjust,
+    'HorizontalFlip': HorizontalFlip,
 }
 
 

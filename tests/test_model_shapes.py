@@ -70,3 +70,20 @@ def test_batchnorm_stats_update_in_train_mode():
     old = jax.tree_util.tree_leaves(variables['batch_stats'])
     new = jax.tree_util.tree_leaves(mutated['batch_stats'])
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_generator_integration_modes():
+    from mm_distillnet_tpu.models.efficientdet_generator import \
+        EfficientDetGenerator
+    inputs = {'rgb': jnp.zeros((1, 128, 128, 3)),
+              'audio': jnp.zeros((1, 128, 128, 8))}
+    for mode in ('concat', 'switch', 'zeroout'):
+        m = EfficientDetGenerator(modalities=('rgb', 'audio'),
+                                  num_classes=4, compound_coef=0,
+                                  integration_mode=mode, dtype=jnp.float32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), inputs)
+        out = m.apply(v, inputs)
+        n = num_anchors(128)
+        assert out.classification.shape == (1, n, 4)
+        # fused features carry num_modalities * fpn width channels
+        assert out.features[0].shape[-1] == 2 * 64
