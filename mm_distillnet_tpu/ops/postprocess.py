@@ -47,9 +47,13 @@ def class_validity_table(num_classes: int,
     return table
 
 
+_SCORE_BITS = 24
+_CLASS_BITS = 5  # up to 32 classes packed below the quantized score
+
+
 @functools.partial(jax.jit, static_argnames=(
     'image_size', 'conf_threshold', 'nms_threshold', 'num_candidates',
-    'max_detections'))
+    'max_detections', 'fast'))
 def postprocess_detections(classification: jnp.ndarray,
                            regression: jnp.ndarray,
                            anchors: jnp.ndarray,
@@ -59,34 +63,73 @@ def postprocess_detections(classification: jnp.ndarray,
                            conf_threshold: float = 0.3,
                            nms_threshold: float = 0.5,
                            num_candidates: int = 512,
-                           max_detections: int = 100) -> Detections:
+                           max_detections: int = 100,
+                           fast: bool = True) -> Detections:
     """classification (B, N, C) sigmoid scores; regression (B, N, 4);
-    anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT."""
+    anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT.
+
+    fast=True (default, TPU path): the per-anchor (score, class) pair is
+    packed into one int32 — quantized score in the high 24 bits, class id
+    in the low 5 — so a single max + a single top_k replace the separate
+    max/argmax/gather passes, and anchors are recomputed from indices
+    instead of gathered. Scores round-trip with <6e-8 absolute error.
+    fast=False reproduces the exact float path (used by parity tests).
+    """
+    from .anchors import anchors_from_indices
+
     classification = classification.astype(jnp.float32)
     regression = regression.astype(jnp.float32)
+    csize = float(image_size)
+    n_cls = classification.shape[-1]
+    if fast and n_cls <= (1 << _CLASS_BITS):
+        # ---- packed int path ----
+        q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
+        cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
+        packed = (q << _CLASS_BITS) | cls_ids          # (B, N, C)
+        packed_max = jnp.max(packed, axis=-1)          # (B, N)
+        classes = packed_max & ((1 << _CLASS_BITS) - 1)
+        scores = (packed_max >> _CLASS_BITS).astype(jnp.float32) / \
+            float(1 << _SCORE_BITS)
+        valid = (scores > conf_threshold) & class_valid[classes]
+        masked = jnp.where(valid, packed_max, -1)
+        top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
+        cand_valid = top_packed >= 0
+        top_scores = (top_packed >> _CLASS_BITS).astype(jnp.float32) / \
+            float(1 << _SCORE_BITS)
+        top_scores = jnp.where(cand_valid, top_scores, NEG_INF)
+        top_classes = jnp.where(cand_valid,
+                                top_packed & ((1 << _CLASS_BITS) - 1), 0)
+        cand_anchors = anchors_from_indices(top_idx, image_size)
 
-    boxes = decode_boxes(anchors[None], regression)
-    boxes = clip_boxes(boxes, float(image_size))
+        def _per_image(reg, idx, anc, scr, c, v):
+            b = clip_boxes(decode_boxes(anc, reg[idx]), csize)
+            sel, kscores, kvalid = batched_class_nms_fixed(
+                b, scr, c, v, nms_threshold, max_detections,
+                coord_bound=csize + 1.0)
+            return (b[sel], jnp.where(kvalid, kscores, 0.0), c[sel], kvalid)
 
-    scores = jnp.max(classification, axis=-1)        # (B, N)
-    classes = jnp.argmax(classification, axis=-1)    # (B, N)
-    valid = (scores > conf_threshold) & class_valid[classes]
+        out_boxes, out_scores, out_classes, out_valid = jax.vmap(
+            _per_image)(regression, top_idx, cand_anchors, top_scores,
+                        top_classes, cand_valid)
+    else:
+        # ---- exact float path ----
+        scores = jnp.max(classification, axis=-1)
+        classes = jnp.argmax(classification, axis=-1)
+        valid = (scores > conf_threshold) & class_valid[classes]
+        masked = jnp.where(valid, scores, NEG_INF)
+        top_scores, top_idx = jax.lax.top_k(masked, num_candidates)
+        cand_valid = top_scores > NEG_INF / 2
 
-    # Top-K candidate selection (dense; K bounds the NMS cost).
-    masked = jnp.where(valid, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(masked, num_candidates)
-    cand_valid = top_scores > NEG_INF / 2
+        def _per_image(reg, idx, scr, cls, v):
+            b = clip_boxes(decode_boxes(anchors[idx], reg[idx]), csize)
+            c = cls[idx]
+            sel, kscores, kvalid = batched_class_nms_fixed(
+                b, scr, c, v, nms_threshold, max_detections,
+                coord_bound=csize + 1.0)
+            return (b[sel], jnp.where(kvalid, kscores, 0.0), c[sel], kvalid)
 
-    def _per_image(bxs, idx, scr, cls, v):
-        b = bxs[idx]
-        c = cls[idx]
-        sel, kscores, kvalid = batched_class_nms_fixed(
-            b, scr, c, v, nms_threshold, max_detections,
-            coord_bound=float(image_size) + 1.0)
-        return b[sel], jnp.where(kvalid, kscores, 0.0), c[sel], kvalid
-
-    out_boxes, out_scores, out_classes, out_valid = jax.vmap(_per_image)(
-        boxes, top_idx, top_scores, classes, cand_valid)
+        out_boxes, out_scores, out_classes, out_valid = jax.vmap(
+            _per_image)(regression, top_idx, top_scores, classes, cand_valid)
     out_classes = jnp.where(out_valid, out_classes, -1)
     return Detections(out_boxes, out_scores, out_classes.astype(jnp.int32),
                       out_valid)
