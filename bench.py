@@ -42,7 +42,7 @@ def main():
                                                    postprocess_detections)
 
     size = int(os.environ.get('BENCH_IMAGE_SIZE', '768'))
-    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    batch = int(os.environ.get('BENCH_BATCH', '32'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
 
     model = EfficientDet(num_classes=20, compound_coef=2,

@@ -1,0 +1,131 @@
+"""Fused inference forward: Pallas MBConv blocks + flax BiFPN/heads.
+
+Inference-only fast path for the detector: deep backbone blocks (input
+spatial <= 96 at 768px, i.e. blocks 6..22 of B2) run as single fused Pallas
+kernels per image with BN folded into the conv weights
+(ops.pallas_mbconv); the memory-heavy early blocks and the BiFPN/heads
+remain on XLA, applied as standalone flax modules from the same variable
+tree. Numerics match the standard path to bf16 tolerance (tests).
+
+Used by bench.py and evaluate.py when config `fused_inference=True`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.bifpn import BiFPN
+from ..models.efficientdet import (BACKBONE_COEF, BOX_CLASS_REPEATS,
+                                   FPN_CELL_REPEATS, FPN_NUM_FILTERS,
+                                   NUM_ANCHORS_PER_CELL, DetectorOutput,
+                                   EfficientDet)
+from ..models.efficientnet import (EFFICIENTNET_PARAMS, MBConvBlock,
+                                   expand_block_args, round_filters)
+from ..models.heads import Classifier, Regressor
+from ..models.layers import BN_EPS, swish
+from ..ops.pallas_mbconv import (FoldedMBConv, fold_mbconv,
+                                 mbconv_fused, mbconv_vmem_bytes)
+
+VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16MB limit
+
+
+class FusedBackbone:
+    """Holds folded weights + dispatch plan for one trained backbone."""
+
+    def __init__(self, variables: Dict, compound_coef: int,
+                 image_size: int, dtype=jnp.bfloat16):
+        self.compound_coef = compound_coef
+        self.dtype = dtype
+        params = variables['params']['backbone_net']
+        stats = variables['batch_stats']['backbone_net']
+        self.blocks = expand_block_args(compound_coef)
+
+        # stem: conv + folded BN
+        kernel = np.asarray(params['_conv_stem']['kernel'])
+        bn = {**{k: np.asarray(v) for k, v in params['_bn0'].items()},
+              **{k: np.asarray(v) for k, v in stats['_bn0'].items()}}
+        scale = bn['scale'] / np.sqrt(bn['var'] + BN_EPS)
+        self.stem_kernel = jnp.asarray(kernel * scale, dtype)
+        self.stem_bias = jnp.asarray(bn['bias'] - bn['mean'] * scale,
+                                     jnp.float32)
+
+        # plan which blocks fuse (input spatial small enough for VMEM)
+        spatial = image_size // 2
+        self.plan: List[Tuple[str, Any]] = []
+        for i, args in enumerate(self.blocks):
+            bp = params[f'_blocks_{i}']
+            bs = stats[f'_blocks_{i}']
+            if mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
+                self.plan.append(('pallas', (args, fold_mbconv(bp, bs, args))))
+            else:
+                self.plan.append(('flax', (args, {'params': bp,
+                                                  'batch_stats': bs})))
+            spatial //= args.stride
+
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        x = x.astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, self.stem_kernel, (2, 2), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = swish(x + self.stem_bias.astype(self.dtype))
+
+        feature_maps = []
+        last_x = None
+        n = len(self.plan)
+        for i, (kind, payload) in enumerate(self.plan):
+            args = payload[0]
+            if args.stride == 2:
+                feature_maps.append(last_x)
+            if kind == 'pallas':
+                x = mbconv_fused(x, payload[1], args)
+            else:
+                x = MBConvBlock(args, dtype=self.dtype).apply(
+                    payload[1], x, train=False)
+            if i == n - 1:
+                feature_maps.append(x)
+            last_x = x
+        return feature_maps[1:]
+
+
+def make_fused_predictor(model: EfficientDet, variables: Dict,
+                         image_size: int):
+    """Returns fn(x) -> DetectorOutput using the fused backbone. The
+    closure captures folded weights as constants of the jitted function."""
+    cc = model.compound_coef
+    backbone = FusedBackbone(variables, BACKBONE_COEF[cc], image_size,
+                             dtype=model.dtype)
+    bifpn = BiFPN(num_channels=FPN_NUM_FILTERS[cc],
+                  num_repeats=FPN_CELL_REPEATS[cc], attention=cc < 6,
+                  dtype=model.dtype)
+    regressor = Regressor(num_anchors=NUM_ANCHORS_PER_CELL,
+                          num_layers=BOX_CLASS_REPEATS[cc],
+                          dtype=model.dtype)
+    classifier = Classifier(num_anchors=NUM_ANCHORS_PER_CELL,
+                            num_classes=model.num_classes,
+                            num_layers=BOX_CLASS_REPEATS[cc],
+                            dtype=model.dtype)
+    p = variables['params']
+    s = variables['batch_stats']
+    bifpn_vars = {'params': p['bifpn'], 'batch_stats': s['bifpn']}
+    reg_vars = {'params': p['regressor'], 'batch_stats': s['regressor']}
+    cls_vars = {'params': p['classifier'], 'batch_stats': s['classifier']}
+
+    def forward(x: jnp.ndarray) -> DetectorOutput:
+        feats = backbone(x)
+        features = bifpn.apply(bifpn_vars, (feats[1], feats[2], feats[3]),
+                               train=False)
+        regression, align_reg = regressor.apply(reg_vars, features,
+                                                train=False)
+        classification, align_cls = classifier.apply(cls_vars, features,
+                                                     train=False)
+        align = jnp.concatenate([align_reg, align_cls], axis=-1)
+        return DetectorOutput(
+            classification=classification.astype(jnp.float32),
+            regression=regression.astype(jnp.float32),
+            features=tuple(features), align_features=align)
+
+    return forward
