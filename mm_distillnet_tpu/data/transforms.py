@@ -135,11 +135,40 @@ class Compose:
         return sample
 
 
+class Audio2Spectogram:
+    """Waveform -> stacked log-mel spectrograms (reference
+    src/datasets/transformations.py:251-266, used when samples carry raw
+    multi-mic PCM instead of precomputed pickles). Runs the batched
+    GEMM-native frontend."""
+
+    def __call__(self, sample: dict) -> dict:
+        audio = sample.get('audio')
+        if audio is None or audio.ndim != 2:  # already a spectrogram stack
+            return sample
+        import jax.numpy as jnp
+
+        from ..ops.audio import log_mel_batch
+        sample = dict(sample)
+        out = log_mel_batch(jnp.asarray(audio[None]))   # (1, 80, T, M)
+        sample['audio'] = np.asarray(out[0])
+        return sample
+
+
+class AudioAugmenter:
+    """Pass-through, matching the reference where every audio augmentation
+    is commented out (src/datasets/transformations.py:470-522)."""
+
+    def __call__(self, sample: dict) -> dict:
+        return sample
+
+
 TRANSFORM_REGISTRY = {
     'Normalizer': Normalizer,
     'Resizer': Resizer,
     'HSVAdjust': HSVAdjust,
     'HorizontalFlip': HorizontalFlip,
+    'Audio2Spectogram': Audio2Spectogram,
+    'AudioAugmenter': AudioAugmenter,
 }
 
 

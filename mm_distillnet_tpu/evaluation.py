@@ -50,17 +50,28 @@ def count_params(variables) -> int:
                                                            variables))))
 
 
-def make_predict_fn(model, image_size: int, config):
-    """Jitted: input image -> padded label rows [x1,y1,x2,y2,score,label]."""
+def make_predict_fn(model, image_size: int, config, variables=None):
+    """Jitted: input image -> padded label rows [x1,y1,x2,y2,score,label].
+
+    With config `fused_inference=True` (and `variables` provided), the
+    backbone runs through the fused Pallas MBConv path
+    (models.fused_forward); weights are baked into the compiled function.
+    """
     anchors = jnp.asarray(anchor_table(image_size))
     conf = config.getfloat('conf_threshold', fallback=0.3)
     nms_thr = config.getfloat('nms_threshold', fallback=0.5)
     cands = config.getint('nms_candidates', fallback=512)
     max_det = config.getint('max_detections', fallback=100)
+    fused = None
+    if variables is not None and \
+            config.getboolean('fused_inference', fallback=False):
+        from .models.fused_forward import make_fused_predictor
+        fused = make_fused_predictor(model, variables, image_size)
 
     @jax.jit
     def predict(variables, x, class_valid, pred_to_label):
-        out = model.apply(variables, x, train=False)
+        out = fused(x) if fused is not None else \
+            model.apply(variables, x, train=False)
         dets = postprocess_detections(
             out.classification, out.regression, anchors, class_valid,
             image_size=image_size, conf_threshold=conf,
@@ -133,7 +144,7 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         num_classes, valid_prediction_ids(vcd)))
     pred_to_label = jnp.asarray(prediction_to_label_lut(vcd, num_classes))
 
-    predict = make_predict_fn(s_module, image_size, config)
+    predict = make_predict_fn(s_module, image_size, config, variables=s_vars)
     testing_points = list(teacher_models.keys())
     if (config.getboolean('use_thermal', fallback=False)
             and config.getboolean('use_depth', fallback=False)

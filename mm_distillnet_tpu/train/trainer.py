@@ -158,6 +158,12 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
     import random as _random
     kdlist_aug = method == 'traditional_nms_kdlist_augmented'
 
+    # Optional on-device tracing (jax.profiler; SURVEY.md section 5: the
+    # reference only has commented-out wall timers, we add real traces).
+    profile_dir = config.get('profile_dir', fallback='') or ''
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     epoch_loss = float(np.inf)
     for epoch in range(start_epoch, num_epoches):
         loader.set_epoch(epoch)
@@ -181,6 +187,18 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
                         batch['label'] = merged['label']
                 except Exception as e:
                     logger.warning('yield_batch mixing failed: %s', e)
+            # Debug-epoch introspection (reference traditional.py:140-168):
+            # per-sample modality means + label counts on the first batch.
+            if epoch == start_epoch and it == 0:
+                for i, frame_id in enumerate(batch.get('id', [])):
+                    parts = [f'{i}=> {frame_id}']
+                    for key in ('rgb', 'thermal', 'depth', 'audio'):
+                        if key in batch:
+                            parts.append(f'{key}={batch[key][i].mean():.4f}')
+                    if 'label' in batch:
+                        n_lab = int((batch['label'][i][:, 4] != -1).sum())
+                        parts.append(f'labels={n_lab}')
+                    logger.debug(' '.join(parts))
             dev_batch, _ = _device_batch(batch, mesh, n_dev)
             state, metrics = train_step(state, t_vars, dev_batch, rng)
             if it % 10 == 0 or it == num_iter - 1:
@@ -233,5 +251,7 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
         if fast_run and epoch >= start_epoch:
             break
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     writer.close()
     return jax.device_get(state)

@@ -17,3 +17,10 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: the suite compiles dozens of CPU programs
+# (~40 min cold); cached reruns take a few minutes.
+import os as _os
+jax.config.update('jax_compilation_cache_dir',
+                  _os.path.expanduser('~/.cache/mmdt_xla_cpu_tests'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)

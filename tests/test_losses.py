@@ -175,3 +175,20 @@ def test_focal_loss_matches_numpy_oracle():
                                   jnp.asarray(ann), jnp.asarray(anchors_np))
     np.testing.assert_allclose(float(got_reg), want_reg, rtol=2e-4)
     np.testing.assert_allclose(float(got_cls), want_cls, rtol=2e-4)
+
+
+def test_focal_loss_legacy_variant():
+    from mm_distillnet_tpu.losses.focal_legacy import focal_loss_legacy
+    anchors = anchor_table(128)
+    anchors_xyxy = anchors[:, [1, 0, 3, 2]]
+    n = anchors.shape[0]
+    rng = np.random.default_rng(5)
+    cls = jnp.asarray(rng.uniform(0.05, 0.95, (1, n, 3)).astype(np.float32))
+    reg = jnp.zeros((1, n, 4), jnp.float32)
+    ann = -np.ones((1, 4, 5), np.float32)
+    ann[0, 0] = [10, 10, 60, 70, 1]
+    loss, reg_l, cls_l = focal_loss_legacy(cls, reg, jnp.asarray(ann),
+                                           jnp.asarray(anchors_xyxy))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(reg_l) + float(cls_l),
+                               rtol=1e-6)

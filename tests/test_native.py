@@ -68,3 +68,21 @@ def test_native_central_distances_matches_python(seed):
                                            [targets.tolist()], 1.0, 1.0)
     np.testing.assert_allclose(got[0], cdx[0], rtol=1e-5)
     np.testing.assert_allclose(got[1], cdy[0], rtol=1e-5)
+
+
+def test_prediction_statistics_miner():
+    from mm_distillnet_tpu.utils.statistics import \
+        collect_prediction_statistics
+    teacher = {'drive_day/0001': np.array([[10, 10, 50, 50, 6],
+                                           [60, 60, 90, 90, 6]], float),
+               'drive_night/0002': np.array([[5, 5, 25, 25, 6]], float)}
+    student = {'drive_day/0001': np.array([[11, 11, 49, 49, 0.9, 6],
+                                           [200, 200, 240, 230, 0.4, 6]],
+                                          float)}
+    df = collect_prediction_statistics(student, teacher)
+    assert len(df) == 2
+    day = df[df['id'] == 'drive_day/0001'].iloc[0]
+    assert day['missing_bboxes'] == 1 and day['excess_bboxes'] == 1
+    night = df[df['id'] == 'drive_night/0002'].iloc[0]
+    assert night['predominating_area_missing'] == 'ALL'
+    assert bool(night['is_night'])
