@@ -13,10 +13,8 @@ src/datasets/utils.py:90-120) with a thread-pool loader that:
 """
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

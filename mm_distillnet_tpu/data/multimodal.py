@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import cv2
 import numpy as np

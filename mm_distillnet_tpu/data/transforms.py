@@ -13,8 +13,6 @@ spectrogram path.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import cv2
 import numpy as np
 

@@ -18,13 +18,12 @@ logits_to_ground_truth (src/utils/utils.py:286-318).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import NEG_INF, nms_fixed
+from ..ops.nms import nms_fixed
 from ..ops.postprocess import (Detections, detections_to_labels,
                                postprocess_detections)
 

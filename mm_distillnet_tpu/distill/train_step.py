@@ -23,8 +23,7 @@ Loss weighting matches traditional.py:171-181:
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +31,8 @@ import optax
 
 from ..losses.focal import focal_loss
 from ..losses.mta import mta_loss
-from .pseudo_labels import (PseudoLabelConfig, build_pseudo_labels,
-                            fuse_teacher_labels, teacher_detections)
+from .pseudo_labels import (PseudoLabelConfig, fuse_teacher_labels,
+                            teacher_detections)
 from ..ops.postprocess import detections_to_labels
 
 

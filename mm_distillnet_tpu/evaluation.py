@@ -19,11 +19,10 @@ and its prediction loops (get_predictions_multiteacher utils.py:1720-1890):
 """
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +31,7 @@ import pandas as pd
 
 from .data.base import prediction_to_label_lut, valid_prediction_ids
 from .data.loader import DataLoader
-from .distill.pseudo_labels import (PseudoLabelConfig, fuse_teacher_labels,
-                                    teacher_detections)
+from .distill.pseudo_labels import fuse_teacher_labels, teacher_detections
 from .ops.anchors import anchor_table
 from .ops.postprocess import (class_validity_table, detections_to_labels,
                               postprocess_detections)

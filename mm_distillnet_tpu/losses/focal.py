@@ -21,7 +21,6 @@ Python loop and ragged numpy annotation padding with a dense
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

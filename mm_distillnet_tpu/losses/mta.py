@@ -19,7 +19,7 @@ flatten.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

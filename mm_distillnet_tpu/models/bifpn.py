@@ -8,7 +8,7 @@ synthesizes P6 = maxpool(conv(P5)), P7 = maxpool(P6).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

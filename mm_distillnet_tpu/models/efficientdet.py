@@ -13,13 +13,13 @@ src/YetAnotherEfficientDet.py:605-694): EfficientNet backbone -> BiFPN stack
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .bifpn import BiFPN
-from .efficientnet import EfficientNetFeatures, backbone_feature_channels
+from .efficientnet import EfficientNetFeatures
 from .heads import Classifier, Regressor
 
 # Per-coefficient scaling tables (reference src/YetAnotherEfficientDet.py:611-629)

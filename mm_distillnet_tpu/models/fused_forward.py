@@ -11,7 +11,6 @@ Used by bench.py and evaluate.py when config `fused_inference=True`.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -23,12 +22,11 @@ from ..models.efficientdet import (BACKBONE_COEF, BOX_CLASS_REPEATS,
                                    FPN_CELL_REPEATS, FPN_NUM_FILTERS,
                                    NUM_ANCHORS_PER_CELL, DetectorOutput,
                                    EfficientDet)
-from ..models.efficientnet import (EFFICIENTNET_PARAMS, MBConvBlock,
-                                   expand_block_args, round_filters)
+from ..models.efficientnet import MBConvBlock, expand_block_args
 from ..models.heads import Classifier, Regressor
 from ..models.layers import BN_EPS, swish
-from ..ops.pallas_mbconv import (FoldedMBConv, fold_mbconv,
-                                 mbconv_fused, mbconv_vmem_bytes)
+from ..ops.pallas_mbconv import (fold_mbconv, mbconv_fused,
+                                 mbconv_vmem_bytes)
 
 VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16MB limit
 

@@ -15,7 +15,7 @@ ordering that the anchor table uses.
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

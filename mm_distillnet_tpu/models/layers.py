@@ -16,7 +16,7 @@ All modules use NHWC layout (TPU-native) and accept a ``dtype`` for compute
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

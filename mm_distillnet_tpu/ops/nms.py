@@ -14,7 +14,6 @@ mask and receive `keep` masks / gathered top-`max_out` results.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -28,7 +28,7 @@ Layout: NHWC; the 1x1 convs are (H*W, Cin) @ (Cin, Cout) MXU matmuls.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ reference's hot loop (SURVEY.md section 3.1).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ the rest of the input pipeline.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -25,12 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULTS
 from ..data.loader import DataLoader
 from ..distill.pseudo_labels import PseudoLabelConfig
 from ..distill.train_step import (DistillConfig, TrainState,
-                                  init_train_state, make_eval_loss_step,
-                                  make_train_step)
+                                  make_eval_loss_step, make_train_step)
 from ..data.base import prediction_to_label_lut, valid_prediction_ids
 from ..ops.anchors import anchor_table
 from ..ops.postprocess import class_validity_table

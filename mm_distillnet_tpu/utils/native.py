@@ -66,7 +66,6 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float
     lib = _load()
     n = len(boxes)
     if lib is None or n == 0:
-        from .metrics import bbox_iou_plus1  # noqa: F401 (fallback marker)
         return _np_nms(boxes, scores, iou_threshold)
     boxes = np.ascontiguousarray(boxes, np.float32)
     scores = np.ascontiguousarray(scores, np.float32)

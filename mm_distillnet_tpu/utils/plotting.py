@@ -4,7 +4,7 @@ dumps. These are debug tools, host-side cv2/matplotlib."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
@@ -60,7 +60,7 @@ def plot_audio_predictions(teacher_models: Dict[str, Tuple[Any, Any]],
     import jax.numpy as jnp
 
     from ..data.base import prediction_to_label_lut, valid_prediction_ids
-    from ..evaluation import make_fused_teacher_fn, make_predict_fn
+    from ..evaluation import make_predict_fn
     from ..ops.postprocess import class_validity_table
 
     out_dir = out_dir or config.get('exp_name', 'run')

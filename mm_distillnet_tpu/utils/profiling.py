@@ -17,8 +17,6 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 
 def _perturb(args, eps):
     """Mix a tiny data-dependent epsilon into the first float array arg so

@@ -8,7 +8,7 @@ Operates on per-frame dicts {frame_id: (n, >=5) array of
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
-import sys
 
 import os as _os
 if _os.environ.get('MMDT_PLATFORM'):
@@ -48,7 +46,6 @@ def pretrain(student_model, config):
 
 
 def train_multimodal_detection(config):
-    import jax
     from mm_distillnet_tpu.data.factory import get_dataset
     from mm_distillnet_tpu.evaluation import evaluate
     from mm_distillnet_tpu.models.registry import load_model
