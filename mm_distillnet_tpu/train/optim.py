@@ -49,8 +49,13 @@ def build_optimizer(config) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Mutate the injected learning rate inside an opt_state pytree."""
-    opt_state.hyperparams['learning_rate'] = lr
+    """Mutate the injected learning rate inside an opt_state pytree.
+
+    Stored as a float32 array so the compiled train step's input signature
+    stays stable (a bare python float would be traced as a weak type and
+    retrigger compilation)."""
+    import jax.numpy as jnp
+    opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 
