@@ -168,3 +168,33 @@ def test_stereosoundnet_shapes():
     # 5 maxpools -> stride 32
     assert out.shape == (1, 4, 4, 5 * 25)
     assert features.shape == (1, 4, 4, 1024)
+
+
+def test_torch_checkpoint_tar_format_roundtrip(tmp_path):
+    """The reference saves {'epoch', 'state_dict', 'optimizer', ...} dicts
+    (train_methods.py:1239-1254) with DataParallel 'module.' prefixes;
+    maybe_load_checkpoint must unwrap and convert them."""
+    from mm_distillnet_tpu.models.registry import maybe_load_checkpoint
+    model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = jax.tree_util.tree_map(
+        np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), x))
+    from mm_distillnet_tpu.convert.torch_weights import _torch_key_for
+    sd = {}
+    for coll in variables:
+        flat = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        for path, leaf in flat:
+            keys = tuple(p.key for p in path)
+            arr = np.asarray(leaf) + 1.0  # make values distinguishable
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)
+            sd['module.' + _torch_key_for(keys, coll)] = \
+                torch.from_numpy(np.ascontiguousarray(arr))
+    ckpt = {'epoch': 7, 'state_dict': sd, 'best_loss': 1.0,
+            'optimizer': {'dummy': 1}}
+    path = str(tmp_path / 'checkpoint.0.pth.tar')
+    torch.save(ckpt, path)
+    loaded = maybe_load_checkpoint(path, variables)
+    a = jax.tree_util.tree_leaves(loaded['params'])[0]
+    b = jax.tree_util.tree_leaves(variables['params'])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0)
