@@ -50,13 +50,20 @@ def _install_torchvision_shim():
             suppressed[i] = True
         return torch.tensor(keep, dtype=torch.long)
 
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.empty((0,), dtype=torch.long)
+        offsets = idxs.to(boxes.dtype) * (boxes.max() + 1)
+        return nms(boxes + offsets[:, None], scores, iou_threshold)
+
     tv = types.ModuleType('torchvision')
     ops = types.ModuleType('torchvision.ops')
     boxes_mod = types.ModuleType('torchvision.ops.boxes')
     boxes_mod.nms = nms
-    boxes_mod.batched_nms = nms
+    boxes_mod.batched_nms = batched_nms
     ops.boxes = boxes_mod
     ops.nms = nms
+    ops.batched_nms = batched_nms
     tv.ops = ops
     sys.modules['torchvision'] = tv
     sys.modules['torchvision.ops'] = ops
