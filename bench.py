@@ -76,13 +76,20 @@ def main():
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
-    baseline = float(os.environ.get('BENCH_BASELINE', '0') or 0)
+    # Default baseline: the PyTorch reference's eval path (D2 fwd + decode
+    # + NMS) measured on this host's CPU torch — the only baseline
+    # measurable in this container (no CUDA; the reference publishes no
+    # throughput). Methodology + context in BENCH_NOTES.md.
+    baseline = float(os.environ.get('BENCH_BASELINE', '0.015') or 0)
     vs = fps / baseline if baseline > 0 else 0.0
     print(json.dumps({
         'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
         'value': round(fps, 2),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(vs, 2),
+        'baseline': baseline,
+        'baseline_note': 'torch-CPU reference path on same host '
+                         '(see BENCH_NOTES.md)',
     }))
 
 
