@@ -247,6 +247,76 @@ def make_train_step(student_model, teacher_models, tx,
     return train_step
 
 
+def make_train_step_per_replica_bn(student_model, teacher_models, tx,
+                                   cfg: DistillConfig, anchors, class_valid,
+                                   pred_to_label, mesh):
+    """Train step with the reference's exact BatchNorm semantics.
+
+    Under plain SPMD jit, batch statistics are computed over the GLOBAL
+    batch (XLA inserts the collective) — sync-BN. The reference's
+    DataParallel/DDP instead keeps PER-REPLICA statistics, and the running
+    stats that persist are those of replica 0 (torch DataParallel aliases
+    the device-0 replica's buffers to the original module). This variant
+    reproduces that: shard_map over the `data` axis computes losses and BN
+    stats on each shard independently, all-reduces gradients and metrics
+    with explicit psum/pmean collectives over ICI, and keeps shard 0's
+    running stats.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state: TrainState, teacher_variables, batch, rng):
+        dropout_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, state.step),
+            jax.lax.axis_index('data'))
+
+        def loss_fn(params):
+            return compute_distill_losses(
+                student_model, params, state.batch_stats, teacher_models,
+                teacher_variables, batch, cfg, anchors, class_valid,
+                pred_to_label, train=True, dropout_rng=dropout_rng)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = jax.lax.pmean(grads, 'data')
+        metrics = {k: jax.lax.pmean(v, 'data')
+                   for k, v in aux['metrics'].items()}
+        # replica-0 running stats persist (torch DataParallel semantics)
+        new_stats = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, 'data')[0],
+            aux['batch_stats'])
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats,
+                               opt_state=new_opt_state)
+        return new_state, metrics
+
+    try:
+        from jax import shard_map  # jax >= 0.5
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def train_step(state, teacher_variables, batch, rng):
+        specs = {k: P('data') for k in batch}
+        kwargs = {}
+        try:
+            import inspect
+            if 'check_vma' in inspect.signature(shard_map).parameters:
+                kwargs['check_vma'] = False
+            else:
+                kwargs['check_rep'] = False
+        except (TypeError, ValueError):
+            pass
+        return shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), specs, P()),
+            out_specs=(P(), P()), **kwargs)(state, teacher_variables,
+                                            batch, rng)
+
+    return train_step
+
+
 def make_eval_loss_step(student_model, teacher_models, cfg: DistillConfig,
                         anchors, class_valid, pred_to_label):
     """Validation loss (reference validate(), train_methods.py:1083-1185):

@@ -124,10 +124,20 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
                         start_epoch, best_loss, best_epoch)
     state = replicate(mesh, state)
 
-    train_step = jax.jit(
-        make_train_step(s_module, t_modules, tx, cfg, anchors, class_valid,
-                        pred_to_label),
-        donate_argnums=(0,))
+    # bn_mode: 'sync' (default; global batch stats under SPMD) or
+    # 'per_replica' (reference DataParallel semantics via shard_map).
+    if config.get('bn_mode', fallback='sync') == 'per_replica':
+        from ..distill.train_step import make_train_step_per_replica_bn
+        train_step = jax.jit(
+            make_train_step_per_replica_bn(
+                s_module, t_modules, tx, cfg, anchors, class_valid,
+                pred_to_label, mesh),
+            donate_argnums=(0,))
+    else:
+        train_step = jax.jit(
+            make_train_step(s_module, t_modules, tx, cfg, anchors,
+                            class_valid, pred_to_label),
+            donate_argnums=(0,))
     eval_step = jax.jit(
         make_eval_loss_step(s_module, t_modules, cfg, anchors, class_valid,
                             pred_to_label))

@@ -126,3 +126,36 @@ def test_synthetic_yield_batch_mixing():
     labels, audio = ds.yield_batch(2, [ds.ids[0], ds.ids[1]])
     assert audio.shape == (2, 128, 128, 8)
     assert labels[0].shape[1] == 5 and len(labels[0]) >= 2
+
+
+def test_per_replica_bn_train_step():
+    """shard_map variant: reference DataParallel BN semantics (per-replica
+    stats, replica-0 persistence) with explicit gradient pmean."""
+    from mm_distillnet_tpu.distill.train_step import \
+        make_train_step_per_replica_bn
+    from mm_distillnet_tpu.parallel.mesh import create_mesh
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup(batch=8)
+    mesh = create_mesh()
+    # make shard data distinct so per-replica stats differ from global
+    batch = dict(batch)
+    batch['audio'] = batch['audio'] + jnp.arange(8).reshape(8, 1, 1, 1) * 0.5
+
+    step_pr = jax.jit(make_train_step_per_replica_bn(
+        student, teachers, tx, cfg, anchors, class_valid, pred_to_label,
+        mesh))
+    new_state, metrics = step_pr(state, teacher_vars, batch,
+                                 jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['Total_loss']))
+    assert int(new_state.step) == 1
+
+    # sync-BN (global) variant on the same batch produces different
+    # running stats than replica-0-only stats
+    step_sync = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                        class_valid, pred_to_label))
+    sync_state, _ = step_sync(state, teacher_vars, batch,
+                              jax.random.PRNGKey(3))
+    pr_means = jax.tree_util.tree_leaves(new_state.batch_stats)
+    sync_means = jax.tree_util.tree_leaves(sync_state.batch_stats)
+    assert any(not np.allclose(a, b, atol=1e-6)
+               for a, b in zip(pr_means, sync_means))
