@@ -40,6 +40,11 @@ class SyntheticMultimodal(BaseDataset):
             boxes.append([x1, y1, x1 + w, y1 + h, self.car_label])
         return np.asarray(boxes, np.float32)
 
+    def get_annotations(self, frame_id: str) -> np.ndarray:
+        item = self.ids.index(frame_id)
+        rng = np.random.default_rng(self.seed + item)
+        return self._boxes_for(rng, self.image_size)
+
     def yield_batch(self, batch_size: int, ids):
         """Audio-mix machinery for traditional_nms_kdlist_augmented: mixes
         each frame's audio with a random other frame (labels become the

@@ -198,3 +198,32 @@ def test_torch_checkpoint_tar_format_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(loaded['params'])[0]
     b = jax.tree_util.tree_leaves(variables['params'])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0)
+
+
+def test_refine_ids_prunes_by_teacher_confidence(tmp_path):
+    """BaseDataset.refine_ids: runs the teacher over the dataset, caches a
+    predictions CSV, and keeps only confidently-predicted frames."""
+    import os
+    from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
+    config = default_config(image_size=128, synthetic_size=4,
+                            data_path=str(tmp_path), use_labels='False',
+                            nms_candidates=64, max_detections=8,
+                            valid_labels=','.join(
+                                ['car', 'person', 'bus']))
+    ds = SyntheticMultimodal(config, 'train')
+    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 128, 128, 3)))
+    n_before = len(ds)
+    ds.refine_ids((model, v), config)
+    csv = os.path.join(str(tmp_path),
+                       'YetAnotherEfficientDet_D2_train_all_predictions.csv')
+    assert os.path.exists(csv)
+    assert len(ds) <= n_before
+    # use_labels=True path: keep frames with >1 valid label
+    config['use_labels'] = 'True'
+    ds2 = SyntheticMultimodal(config, 'train')
+    ds2.use_labels = True
+    ds2.refine_ids((model, v), config)
+    assert all((ds2[i]['label'][:, 4] != -1).sum() > 1
+               for i in range(len(ds2))) or len(ds2) == 0
