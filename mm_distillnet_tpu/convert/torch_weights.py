@@ -58,6 +58,12 @@ def _module_path(parts: List[str]) -> List[str]:
         p = parts[i]
         if p == 'backbone_net':
             segs += ['backbone_net', 'model']
+        elif m := re.fullmatch(r'backbone_net_(\w+)', p):
+            # generator per-modality backbone (reference
+            # YetAnotherEfficientDet_generator.py:634-641)
+            segs += ['model_backbones', m.group(1), 'model']
+        elif m := re.fullmatch(r'bifpn_(\w+)', p):
+            segs += ['model_necks', m.group(1)]
         elif m := re.fullmatch(r'_blocks_(\d+)', p):
             segs += ['_blocks', m.group(1)]
         elif m := re.fullmatch(r'cell_(\d+)', p):
@@ -103,6 +109,29 @@ def _module_path(parts: List[str]) -> List[str]:
     return segs
 
 
+_MODALITIES = ('audio', 'thermal', 'depth', 'rgb')
+
+
+def _alternate_keys(tkey: str) -> List[str]:
+    """Cross-format fallbacks mirroring the reference's filter_model_dict
+    prefix remapping (utils.py:342-357): load a plain-EfficientDet
+    checkpoint into generator per-modality slots, or a generator
+    checkpoint's modality slots into a plain model."""
+    alts = []
+    if tkey.startswith('model_backbones.'):
+        alts.append(re.sub(r'^model_backbones\.\w+\.', 'backbone_net.',
+                           tkey))
+    elif tkey.startswith('model_necks.'):
+        alts.append(re.sub(r'^model_necks\.\w+\.', 'bifpn.', tkey))
+    elif tkey.startswith('backbone_net.'):
+        alts += [tkey.replace('backbone_net.', f'model_backbones.{m}.', 1)
+                 for m in _MODALITIES]
+    elif tkey.startswith('bifpn.'):
+        alts += [tkey.replace('bifpn.', f'model_necks.{m}.', 1)
+                 for m in _MODALITIES]
+    return alts
+
+
 def _to_flax_tensor(torch_tensor, flax_shape) -> np.ndarray:
     arr = np.asarray(torch_tensor.detach().cpu().numpy()
                      if hasattr(torch_tensor, 'detach') else torch_tensor)
@@ -134,9 +163,15 @@ def convert_state_dict(state_dict: Dict[str, Any], flax_variables,
             keys = tuple(getattr(p, 'key', getattr(p, 'name', str(p)))
                          for p in path)
             tkey = _torch_key_for(keys, collection)
-            if tkey in sd:
-                used.add(tkey)
-                val = _to_flax_tensor(sd[tkey], leaf.shape)
+            # size-mismatched keys are skipped like the reference's
+            # filter_model_dict (it only copies on v.size() equality) —
+            # e.g. generator heads are wider than plain-model heads
+            match = next(
+                (a for a in [tkey] + _alternate_keys(tkey)
+                 if a in sd and np.asarray(sd[a]).size == leaf.size), None)
+            if match is not None:
+                used.add(match)
+                val = _to_flax_tensor(sd[match], leaf.shape)
             else:
                 missing.append((collection,) + keys)
                 val = np.asarray(leaf)

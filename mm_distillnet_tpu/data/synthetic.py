@@ -81,8 +81,13 @@ class SyntheticMultimodal(BaseDataset):
             rgb[sl] += 1.0
             thermal[sl] += 1.5
             depth[sl] += 0.8
-            # audio energy band at the object's horizontal position
+            # audio energy band at the object's horizontal position, plus a
+            # weaker full-extent response: a stand-in for the inter-mic
+            # time/level differences that localize sources in the real
+            # 8-mic log-mel stack — without it the audio modality carries
+            # no vertical information and detection is unlearnable.
             audio[:, int(x1):int(x2), :] += 0.5
+            audio[sl] += 0.8
 
         return {'rgb': rgb, 'thermal': thermal, 'depth': depth,
                 'audio': audio, 'label': boxes, 'id': self.ids[item]}

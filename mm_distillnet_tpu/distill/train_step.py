@@ -57,6 +57,17 @@ class DistillConfig(NamedTuple):
     # src/utils/utils.py:1556-1668): main_loss is YetAnotherFocalLoss;
     # kd_loss in {MTALoss, AttentionLoss, None}
     kd_loss: str = 'MTALoss'
+    # use_labels=True trains against the dataset's ground-truth annotations
+    # instead of teacher pseudo-labels — only honored by the 'traditional'
+    # method, matching the reference (ModelWithLoss.forward, reference
+    # train_methods.py:557-565). With use_labels and no teachers this is
+    # plain supervised detector training (used by the pretrain phase and the
+    # convergence tests).
+    use_labels: bool = False
+    # which batch key feeds the trained network (default: the audio
+    # student). Set to 'rgb'/'thermal'/'depth' to supervised-train a
+    # teacher-architecture model on an image modality.
+    student_input: str = 'audio'
 
 
 def merge_audio_batch01(audio: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +101,12 @@ def _teacher_forward(teacher_models: Dict[str, Any],
     {modality: (classification, regression, features)}."""
     outs = {}
     for modality, model in teacher_models.items():
-        x = batch[modality]
+        if hasattr(model, 'modalities'):
+            # multi-modal generator teacher (the use_audio static teacher,
+            # reference utils.py:506-558): takes a dict of its modalities
+            x = {m: batch[m] for m in model.modalities}
+        else:
+            x = batch[modality]
         o = model.apply(teacher_variables[modality], x, train=False)
         feats = [jax.lax.stop_gradient(f) for f in
                  (o.features if model.features_from == 'efficientnet'
@@ -136,14 +152,14 @@ def compute_distill_losses(student_model, params, batch_stats,
 
     Returns (loss, aux) where aux carries new batch_stats and the scalar
     breakdown matching the reference's logged quantities."""
-    audio = batch['audio']
+    audio = batch[cfg.student_input]
     augment = cfg.audio_augmentation_merge and \
         'augmented' in cfg.train_method
     if augment:
         audio = merge_audio_batch01(audio)
 
     t_outs = _teacher_forward(teacher_models, teacher_variables,
-                              {**batch, 'audio': audio})
+                              {**batch, cfg.student_input: audio})
     if augment:
         t_outs = {m: (c, r, average_teacher_features_batch01(f))
                   for m, (c, r, f) in t_outs.items()}
@@ -164,10 +180,20 @@ def compute_distill_losses(student_model, params, batch_stats,
                else [out.align_features])
 
     # ---- pseudo-labels ----
-    per_teacher = _labels_per_teacher(t_outs, anchors, class_valid,
-                                      pred_to_label, cfg)
     method = cfg.train_method
-    if method == 'traditional':
+    use_gt = cfg.use_labels and method == 'traditional'
+    per_teacher = [] if use_gt else _labels_per_teacher(
+        t_outs, anchors, class_valid, pred_to_label, cfg)
+    if use_gt:
+        # supervised: ground-truth annotations as targets (reference
+        # ModelWithLoss.forward with use_labels=True,
+        # train_methods.py:557-558); the reference computes the identical
+        # focal loss once per teacher then averages — same value, so one
+        # evaluation suffices (and it covers the zero-teacher case).
+        r, c = focal_loss(out.classification, out.regression,
+                          batch['label'], anchors)
+        reg_losses, cls_losses = [r], [c]
+    elif method == 'traditional':
         # per-teacher labels, no cross-teacher fusion (ModelWithLoss,
         # reference train_methods.py:520-584)
         reg_losses, cls_losses = [], []
@@ -188,7 +214,9 @@ def compute_distill_losses(student_model, params, batch_stats,
     # ---- KD losses ----
     kd_losses = []
     teacher_feats = [f for (_, _, f) in t_outs.values()]
-    if cfg.kd_loss in (None, 'None'):
+    if not teacher_feats:
+        kd_losses.append(jnp.zeros((1,)))
+    elif cfg.kd_loss in (None, 'None'):
         kd_losses.append(jnp.zeros((1,)))
     elif cfg.kd_loss == 'AttentionLoss':
         from ..losses.aux_losses import attention_transfer_loss

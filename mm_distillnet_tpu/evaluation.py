@@ -92,8 +92,11 @@ def make_fused_teacher_fn(teacher_models: Dict[str, Any], image_size: int,
     def fused(teacher_variables, batch, class_valid, pred_to_label):
         per_teacher = []
         for modality, model in teacher_models.items():
-            out = model.apply(teacher_variables[modality], batch[modality],
-                              train=False)
+            if hasattr(model, 'modalities'):
+                x = {m: batch[m] for m in model.modalities}
+            else:
+                x = batch[modality]
+            out = model.apply(teacher_variables[modality], x, train=False)
             dets = teacher_detections(out.classification, out.regression,
                                       anchors, class_valid, cfg.pl)
             per_teacher.append(detections_to_labels(
@@ -172,14 +175,19 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         target_classes: List[float] = []
         n_frames = 0
         start_time = time.time()
+        student_key = config.get('student_input', 'audio') or 'audio'
         for bi, batch in enumerate(loader):
-            audio = jnp.asarray(batch['audio'])
+            audio = jnp.asarray(batch[student_key])
             pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)
             if config.getboolean('use_labels', fallback=False) and \
                     'label' in batch and (batch['label'][..., 4] != -1).any():
                 fused = batch['label']
             else:
-                dev_inputs = {m: jnp.asarray(batch[m]) for m in t_vars}
+                # a generator teacher consumes modalities beyond its own
+                # key, so ship every image modality in the batch
+                dev_inputs = {m: jnp.asarray(batch[m])
+                              for m in ('rgb', 'thermal', 'depth', 'audio')
+                              if m in batch}
                 fused = np.asarray(fused_fn(t_vars, dev_inputs, class_valid,
                                             pred_to_label))
             preds = _rows_with_scores_to_lists(np.asarray(pred_rows))
@@ -207,6 +215,11 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         }])
         exp_name = config.get('exp_name', 'run')
         os.makedirs(exp_name, exist_ok=True)
+        # Written inside the per-modality loop on purpose: the reference does
+        # the same (utils.py:2086-2095 sit inside `for modality in
+        # testing_points:`), so with multiple testing points the last
+        # modality's timing wins there too. In the shipped recipe
+        # rgb+thermal+depth collapse to testing_points=['ALL'] → one write.
         resources.to_csv(os.path.join(exp_name, f'resources.{rank}.csv'),
                          index=False)
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .efficientdet import EfficientDet
+from .efficientdet_generator import EfficientDetGenerator
 from .stereosoundnet import StereoSoundNet
 
 logger = logging.getLogger(__name__)
@@ -53,6 +54,40 @@ def _compute_dtype(config) -> Any:
             'float16': jnp.float16}[name]
 
 
+def get_data_dim_from_config(config) -> Dict[str, int]:
+    """Modality -> input channels from the config's use_* flags (reference
+    get_data_dim_from_config, utils.py:414-438); sizes the generator's
+    per-modality stacks."""
+    out: Dict[str, int] = {}
+    if config is not None:
+        if config.getboolean('use_thermal', fallback=False):
+            out['thermal'] = 1
+        if config.getboolean('use_depth', fallback=False):
+            out['depth'] = 3
+        if config.getboolean('use_audio', fallback=False):
+            out['audio'] = 8
+        if config.getboolean('use_rgb', fallback=True):
+            out['rgb'] = 3
+    if not out:
+        out['rgb'] = 3
+    return out
+
+
+def _is_generator_type(model_type: str) -> bool:
+    """Which registry names build the multi-modal generator class.
+
+    Mirrors the reference's model_dict classes (utils.py:441-558):
+    'YetAnotherEfficientDetGenerator_D2' and 'YetAnotherEfficientDet_D2_audio'
+    map to YetAnotherEfficientDetGenerator, while — counter-intuitively —
+    'YetAnotherEfficientDetGenerator_D2_STATIC' maps to the PLAIN
+    YetAnotherEfficientDet (utils.py:551-555: the static-audio checkpoint is
+    a single-modality export)."""
+    if model_type == 'YetAnotherEfficientDetGenerator_D2_STATIC':
+        return False
+    return ('Generator' in model_type
+            or model_type == 'YetAnotherEfficientDet_D2_audio')
+
+
 def build_model(model_type: str, config, num_classes: int = 20):
     """Instantiate the module for a registry name (no weights)."""
     if 'StereoSoundNet' in model_type:
@@ -60,6 +95,14 @@ def build_model(model_type: str, config, num_classes: int = 20):
                               dtype=_compute_dtype(config))
     if 'YetAnotherEfficientDet' not in model_type:
         raise Exception(f"Unsupported model type {model_type} provided")
+    if _is_generator_type(model_type):
+        dims = get_data_dim_from_config(config)
+        integration = (config.get('integration_mode', 'concat')
+                       if config is not None else 'concat') or 'concat'
+        return EfficientDetGenerator(
+            modalities=tuple(sorted(dims)), num_classes=num_classes,
+            compound_coef=2, integration_mode=integration,
+            dtype=_compute_dtype(config))
     features_from = (config.get('features_from', 'efficientnet')
                      if config is not None else 'efficientnet')
     return EfficientDet(num_classes=num_classes, compound_coef=2,
@@ -67,8 +110,14 @@ def build_model(model_type: str, config, num_classes: int = 20):
                         dtype=_compute_dtype(config))
 
 
-def init_variables(model, in_channels: int, image_size: int, seed: int = 0):
-    dummy = jnp.zeros((1, image_size, image_size, in_channels))
+def init_variables(model, in_channels: int, image_size: int, seed: int = 0,
+                   config=None):
+    if isinstance(model, EfficientDetGenerator):
+        dims = get_data_dim_from_config(config)
+        dummy = {m: jnp.zeros((1, image_size, image_size, c))
+                 for m, c in dims.items()}
+    else:
+        dummy = jnp.zeros((1, image_size, image_size, in_channels))
     # jit the init: on TPU an eager init dispatches every op individually
     # (minutes); a single compiled program initializes in seconds.
     return jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
@@ -97,29 +146,38 @@ def load_model(model_type: str, config, modality: Optional[str] = None,
         in_channels = 1
 
     image_size = config.getint('image_size') if config is not None else 768
-    variables = init_variables(model, in_channels, image_size, seed)
+    variables = init_variables(model, in_channels, image_size, seed,
+                               config=config)
 
     saved_path = (config.get('saved_path', 'trained_models')
                   if config is not None else 'trained_models')
     saved_path = saved_path.strip('"')
     if ckpt_name is not None:
         path = os.path.join(saved_path, ckpt_name)
-        variables = maybe_load_checkpoint(path, variables)
+        # Teacher checkpoints must load completely: a silently partial
+        # teacher poisons every pseudo-label downstream. The student's
+        # '_embedding' incremental update is the one sanctioned partial
+        # load (reference utils.py:585-589).
+        variables = maybe_load_checkpoint(path, variables, strict=True)
         if 'embedding' in model_type:
             emb = os.path.join(saved_path,
                                'yet-another-efficientdet-d2-embedding.pth')
-            variables = maybe_load_checkpoint(emb, variables)
+            variables = maybe_load_checkpoint(emb, variables, strict=False)
     return model, variables
 
 
-def maybe_load_checkpoint(path: str, variables):
+def maybe_load_checkpoint(path: str, variables, strict: bool = False):
     """Load weights from .pth (torch) or orbax dir if present; otherwise
-    return the passed-in (random) variables."""
+    return the passed-in (random) variables.
+
+    strict=True raises if any flax parameter has no matching torch key —
+    required for teacher loads (a drifted key map would leave teachers
+    partially random and silently corrupt distillation)."""
     if path and os.path.exists(path):
         if path.endswith(('.pth', '.pth.tar', '.pt')):
             from ..convert.torch_weights import load_torch_checkpoint
             variables, report = load_torch_checkpoint(path, variables,
-                                                      strict=False)
+                                                      strict=strict)
             if report['missing']:
                 logger.warning('checkpoint %s: %d flax paths unmatched',
                                path, len(report['missing']))

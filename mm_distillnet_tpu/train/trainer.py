@@ -51,6 +51,8 @@ def distill_config_from(config, image_size: int) -> DistillConfig:
         p=config.getfloat('p', fallback=2.0),
         mta_parity=config.getboolean('mta_parity_mode', fallback=True),
         kd_loss=config.get('kd_loss', 'MTALoss'),
+        use_labels=config.getboolean('use_labels', fallback=False) or False,
+        student_input=config.get('student_input', 'audio') or 'audio',
         audio_augmentation_merge=config.getboolean(
             'audio_augmentation_merge', fallback=False) or False,
         pl=PseudoLabelConfig(

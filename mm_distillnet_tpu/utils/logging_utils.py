@@ -22,6 +22,9 @@ def setup_run_logging(config, rank: int = 0) -> logging.Logger:
     logger = logging.getLogger('mm_distillnet_tpu')
     logger.setLevel(logging.DEBUG)
     path = os.path.join(exp_name, f'{exp_name}.{rank}.log')
+    # exp_name may itself contain a path separator (the pretrain stage runs
+    # under '{exp_name}/pretrain'); create the full parent chain.
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     if not any(isinstance(h, logging.FileHandler) and
                getattr(h, 'baseFilename', '') == os.path.abspath(path)
                for h in logger.handlers):

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Convergence proof: the distillation loop learns to detect.
+
+The container cannot reproduce the reference's headline 84.29 mAP@0.5 (the
+113k-frame Freiburg dataset is not redistributable), so this is the closest
+available capability proof (reference acceptance test: evaluate() over real
+data, reference src/utils/utils.py:2018-2181):
+
+  Phase A  supervised-overfit an RGB-input EfficientDet on the synthetic
+           planted-rectangle frames (train_method=traditional +
+           use_labels=True: the reference's ModelWithLoss GT branch,
+           train_methods.py:557-558) and show AP@0.5 reaches a high value
+           -> the trainer + focal loss + post-processing learn.
+
+  Phase B  freeze that model as the RGB teacher and distill a from-scratch
+           8-channel audio student through the REAL pipeline
+           (traditional_nms: teacher forward -> on-device decode/NMS
+           pseudo-labels -> focal + MTA) and show the student's AP@0.5
+           rises from random (~0) to a substantial level
+           -> the distillation loop transfers detection capability.
+
+Both phases run through the public trainer (mm_distillnet_tpu.train.trainer
+.train) and evaluator, not a bespoke loop. Run on TPU (default) or CPU:
+
+    python scripts/convergence.py --size 256 --epochs-a 150 --epochs-b 200
+    MMDT_PLATFORM=cpu python scripts/convergence.py --size 128 ...
+
+Prints one JSON line with the three AP@0.5 numbers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get('MMDT_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['MMDT_PLATFORM'])
+import jax  # noqa: E402
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('MMDT_COMPILE_CACHE',
+                                 os.path.expanduser('~/.cache/mmdt_xla')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def _config(args, **over):
+    from mm_distillnet_tpu.config import default_config
+    base = dict(
+        image_size=args.size, synthetic_size=args.frames,
+        batch_size=args.batch, num_workers=1, resume=False,
+        val_interval=10 ** 6, es_patience=10 ** 6,   # no mid-run val/ckpt
+        optimizer='Adam', lr=args.lr, scheduler='StepLR',
+        step_size=10 ** 6, gamma=1.0,                # constant LR
+        max_gt=16, nms_candidates=128, max_det_per_teacher=16,
+        max_detections=32, conf_threshold=0.3, nms_threshold=0.5,
+        compute_dtype='float32', rank=0, fast_run=False,
+        use_rgb=True, use_thermal=False, use_depth=False,
+        exp_name=args.exp_name)
+    base.update(over)
+    return default_config(**base)
+
+
+def _ap50(teachers, model, dataset, config):
+    from mm_distillnet_tpu.evaluation import evaluate
+    ap = evaluate(teachers, model, dataset, config)
+    return float(ap['AP@0.5'].iloc[0])
+
+
+def _mk(seed, ch, size, coef):
+    from mm_distillnet_tpu.models.efficientdet import EfficientDet
+    m = EfficientDet(num_classes=20, compound_coef=coef, dtype=jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, size, size, ch)))
+    return m, v
+
+
+def run(args):
+    from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
+    from mm_distillnet_tpu.train.trainer import train
+
+    # ---------- phase A: supervised RGB "teacher" ----------
+    cfg_a = _config(args, num_epoches=args.epochs_a, use_labels=True,
+                    student_input='rgb', kd_loss='None',
+                    train_method='traditional',
+                    exp_name=f'{args.exp_name}/teacher')
+    train_set = SyntheticMultimodal(cfg_a, 'train')
+    eval_set = SyntheticMultimodal(cfg_a, 'train')   # capability: overfit AP
+    teacher = _mk(1, 3, args.size, args.coef)
+    state = train({}, teacher, cfg_a, train_set, None)
+    teacher = (teacher[0], {'params': state.params,
+                            'batch_stats': state.batch_stats})
+    teacher_ap = _ap50({'rgb': teacher}, teacher, eval_set, cfg_a)
+    print(f'[convergence] phase A teacher AP@0.5 = {teacher_ap:.2f}',
+          file=sys.stderr)
+
+    # ---------- phase B: distill the audio student ----------
+    cfg_b = _config(args, num_epoches=args.epochs_b, use_labels=False,
+                    student_input='audio', kd_loss='MTALoss',
+                    train_method='traditional_nms', w_kd=0.005,
+                    exp_name=f'{args.exp_name}/student')
+    student = _mk(9, 8, args.size, args.coef)
+    cfg_eval = _config(args, num_epoches=0, use_labels=True,
+                       student_input='audio',
+                       exp_name=f'{args.exp_name}/student')
+    student_ap_before = _ap50({'rgb': teacher}, student, eval_set, cfg_eval)
+    print(f'[convergence] phase B student AP@0.5 before = '
+          f'{student_ap_before:.2f}', file=sys.stderr)
+
+    state = train({'rgb': teacher}, student, cfg_b,
+                  SyntheticMultimodal(cfg_b, 'train'), None)
+    student = (student[0], {'params': state.params,
+                            'batch_stats': state.batch_stats})
+    student_ap_after = _ap50({'rgb': teacher}, student, eval_set, cfg_eval)
+    print(f'[convergence] phase B student AP@0.5 after = '
+          f'{student_ap_after:.2f}', file=sys.stderr)
+
+    result = {
+        'teacher_ap50': round(teacher_ap, 2),
+        'student_ap50_before': round(student_ap_before, 2),
+        'student_ap50_after': round(student_ap_after, 2),
+        'size': args.size, 'frames': args.frames, 'coef': args.coef,
+        'epochs_a': args.epochs_a, 'epochs_b': args.epochs_b,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--size', type=int, default=256)
+    p.add_argument('--frames', type=int, default=8)
+    p.add_argument('--batch', type=int, default=4)
+    p.add_argument('--coef', type=int, default=0,
+                   help='EfficientDet compound coefficient')
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--epochs-a', type=int, default=150)
+    p.add_argument('--epochs-b', type=int, default=200)
+    p.add_argument('--exp-name', default='convergence-run')
+    return p.parse_args(argv)
+
+
+if __name__ == '__main__':
+    run(parse_args())

@@ -77,7 +77,11 @@ def test_generator_integration_modes():
         EfficientDetGenerator
     inputs = {'rgb': jnp.zeros((1, 128, 128, 3)),
               'audio': jnp.zeros((1, 128, 128, 8))}
-    for mode in ('concat', 'switch', 'zeroout'):
+    # switch mode keeps single-modality head width (num_models_active=1,
+    # reference YetAnotherEfficientDet_generator.py:652-668); concat and
+    # zeroout heads see num_modalities * fpn width channels
+    for mode, width in (('concat', 2 * 64), ('switch', 64),
+                        ('zeroout', 2 * 64)):
         m = EfficientDetGenerator(modalities=('rgb', 'audio'),
                                   num_classes=4, compound_coef=0,
                                   integration_mode=mode, dtype=jnp.float32)
@@ -85,5 +89,4 @@ def test_generator_integration_modes():
         out = m.apply(v, inputs)
         n = num_anchors(128)
         assert out.classification.shape == (1, n, 4)
-        # fused features carry num_modalities * fpn width channels
-        assert out.features[0].shape[-1] == 2 * 64
+        assert out.features[0].shape[-1] == width

@@ -1,0 +1,152 @@
+"""Supervised (use_labels) training mode and the pretrain training phase.
+
+Covers two reference behaviors:
+- ModelWithLoss.forward with use_labels=True trains against dataset GT
+  annotations rather than teacher pseudo-labels (reference
+  src/optimization/train_methods.py:557-565);
+- pretrain() runs a full method='traditional' training stage into
+  {exp_name}/pretrain when config pretrain=True and no checkpoint path is
+  given (reference train.py:86-100), or loads the checkpoint when the
+  pretrain value is an existing path (reference train.py:69-84).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_distillnet_tpu.config import default_config
+from mm_distillnet_tpu.data.loader import collate
+from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
+from mm_distillnet_tpu.distill.pseudo_labels import PseudoLabelConfig
+from mm_distillnet_tpu.distill.train_step import (DistillConfig,
+                                                  init_train_state,
+                                                  make_train_step)
+from mm_distillnet_tpu.models.efficientdet import EfficientDet
+from mm_distillnet_tpu.ops.anchors import anchor_table
+from mm_distillnet_tpu.ops.postprocess import class_validity_table
+from mm_distillnet_tpu.train.optim import build_optimizer
+
+SIZE = 128
+
+
+def _batch(config, keys=('rgb', 'thermal', 'depth', 'audio')):
+    ds = SyntheticMultimodal(config, 'train')
+    samples = [ds[i] for i in range(2)]
+    b = collate(samples, max_gt=16)
+    return {k: jnp.asarray(v) for k, v in b.items() if k != 'id'}
+
+
+def test_supervised_no_teacher_step():
+    """use_labels + zero teachers = plain supervised detector training."""
+    config = default_config(image_size=SIZE, synthetic_size=4)
+    batch = _batch(config)
+    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    tx = build_optimizer(config)
+    state = init_train_state(model, jax.random.PRNGKey(0), batch['rgb'], tx)
+    cfg = DistillConfig(train_method='traditional', use_labels=True,
+                        student_input='rgb', kd_loss='None',
+                        pl=PseudoLabelConfig(image_size=SIZE,
+                                             num_candidates=64,
+                                             max_det_per_teacher=8,
+                                             max_gt=16))
+    anchors = jnp.asarray(anchor_table(SIZE))
+    class_valid = jnp.asarray(class_validity_table(20, list(range(20))))
+    step = jax.jit(make_train_step(model, {}, tx, cfg, anchors, class_valid,
+                                   jnp.arange(20)))
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, {}, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics['Total_loss']))
+    assert all(np.isfinite(l) for l in losses)
+    assert float(metrics['KD']) == 0.0
+    # GT supervision on a repeated batch must reduce the loss immediately
+    assert losses[-1] < losses[0]
+
+
+def test_use_labels_only_affects_traditional():
+    """Fused-NMS methods ignore use_labels, matching the reference (only
+    ModelWithLoss honors the flag)."""
+    config = default_config(image_size=SIZE, synthetic_size=4)
+    batch = _batch(config)
+    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    teacher = EfficientDet(num_classes=20, compound_coef=0,
+                           dtype=jnp.float32)
+    t_vars = {'rgb': jax.jit(teacher.init)(jax.random.PRNGKey(1),
+                                           batch['rgb'])}
+    tx = build_optimizer(config)
+    state = init_train_state(model, jax.random.PRNGKey(0), batch['audio'], tx)
+    anchors = jnp.asarray(anchor_table(SIZE))
+    class_valid = jnp.asarray(class_validity_table(20, list(range(20))))
+    pl = PseudoLabelConfig(image_size=SIZE, num_candidates=64,
+                           max_det_per_teacher=8, max_gt=16)
+    out = {}
+    for use_labels in (False, True):
+        cfg = DistillConfig(train_method='traditional_nms',
+                            use_labels=use_labels, kd_loss='None', pl=pl)
+        step = jax.jit(make_train_step(model, {'rgb': teacher}, tx, cfg,
+                                       anchors, class_valid,
+                                       jnp.arange(20)))
+        _, metrics = step(state, t_vars, batch, jax.random.PRNGKey(1))
+        out[use_labels] = float(metrics['Total_loss'])
+    assert out[False] == pytest.approx(out[True])
+
+
+def test_pretrain_training_phase(tmp_path):
+    """pretrain=True without a checkpoint runs a 'traditional' stage into
+    {exp_name}/pretrain and threads the trained weights back."""
+    os.chdir(tmp_path)
+    import train as train_cli
+
+    config = default_config(
+        image_size=SIZE, synthetic_size=4, batch_size=2, num_epoches=1,
+        val_interval=1, fast_run=True, num_workers=1, resume=False,
+        use_depth=False, use_thermal=False, max_gt=16, nms_candidates=64,
+        max_det_per_teacher=8, exp_name='pretrain-test',
+        compute_dtype='float32', rank=0, pretrain=True)
+    train_set = SyntheticMultimodal(config, 'train')
+    val_set = SyntheticMultimodal(config, 'val')
+
+    def mk(seed, ch):
+        m = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, SIZE, SIZE, ch)))
+        return m, v
+
+    teachers = {'rgb': mk(1, 3)}
+    student = mk(9, 8)
+    before = student[1]['params']
+    module, variables = train_cli.pretrain(teachers, student, config,
+                                           train_set, val_set)
+    assert os.path.exists('pretrain-test/pretrain/checkpoint.0')
+    assert config['exp_name'] == 'pretrain-test'  # restored
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                   - jnp.asarray(b, jnp.float32)).max()),
+        before, variables['params'])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_pretrain_checkpoint_path_branch(tmp_path):
+    """A pretrain value that is an existing checkpoint path loads it
+    instead of training (reference train.py:69-84)."""
+    os.chdir(tmp_path)
+    import orbax.checkpoint as ocp
+
+    import train as train_cli
+
+    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, SIZE, SIZE, 8)))
+    v2 = jax.jit(model.init)(jax.random.PRNGKey(7),
+                             jnp.zeros((1, SIZE, SIZE, 8)))
+    path = os.path.join(tmp_path, 'saved_params')
+    ocp.StandardCheckpointer().save(path, v2)
+
+    config = default_config(pretrain=path, image_size=SIZE)
+    module, variables = train_cli.pretrain({}, (model, v1), config,
+                                           None, None)
+    got = jax.tree_util.tree_leaves(variables['params'])[0]
+    want = jax.tree_util.tree_leaves(v2['params'])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

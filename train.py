@@ -32,16 +32,47 @@ _jax_cc.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 logging.basicConfig(level=logging.WARNING)
 
 
-def pretrain(student_model, config):
-    """Reference pretrain() (train.py:47-102) loads a pretrain checkpoint
-    into the student before distillation when config pretrain=True."""
-    if not config.getboolean('pretrain', fallback=False):
-        return student_model
-    from mm_distillnet_tpu.models.registry import maybe_load_checkpoint
-    path = config.get('pretrain_checkpoint', '')
+def pretrain(teacher_models, student_model, config, train_set, val_set):
+    """Pretrain stage before distillation (reference train.py:47-102).
+
+    The reference's ``pretrain`` config key doubles as a value:
+    - an existing checkpoint path -> load it into the student and return
+      (reference train.py:69-84);
+    - a true boolean -> run a full training stage with
+      ``method='traditional'`` into ``{exp_name}/pretrain``, then restore
+      exp_name (reference train.py:86-100). The trained weights carry over
+      into the student (the reference mutates the torch module in place; we
+      thread the returned TrainState's params/batch_stats back).
+    """
+    import os
+
     module, variables = student_model
-    if path:
-        variables = maybe_load_checkpoint(path, variables)
+    value = config.get('pretrain', fallback='False') or 'False'
+    path = config.get('pretrain_checkpoint', fallback='') or value
+    if path and os.path.exists(path):
+        from mm_distillnet_tpu.models.registry import maybe_load_checkpoint
+        logging.warning('Pretrain from %s', path)
+        return module, maybe_load_checkpoint(path, variables)
+
+    try:
+        enabled = config.getboolean('pretrain', fallback=False)
+    except ValueError:
+        enabled = False  # non-boolean, non-existent path: nothing to do
+    if not enabled:
+        return module, variables
+
+    from mm_distillnet_tpu.train.trainer import train
+    old_exp_name = config.get('exp_name', 'run')
+    config['exp_name'] = f'{old_exp_name}/pretrain'
+    os.makedirs(config['exp_name'], exist_ok=True)
+    logging.warning('Pretrain stage on %s', config['exp_name'])
+    state = train(teacher_models, (module, variables), config,
+                  train_set, val_set, method='traditional')
+    config['exp_name'] = old_exp_name
+    variables = dict(variables)
+    variables['params'] = state.params
+    if state.batch_stats:
+        variables['batch_stats'] = state.batch_stats
     return module, variables
 
 
@@ -75,7 +106,8 @@ def train_multimodal_detection(config):
 
     student_model = load_model(config.get('student'), config,
                                'audio_student')
-    student_model = pretrain(student_model, config)
+    student_model = pretrain(teacher_models, student_model, config,
+                             training_set, val_set)
 
     train(teacher_models, student_model, config, training_set, val_set,
           method=config.get('train_method'))
