@@ -1,0 +1,83 @@
+"""Pallas kernel: fused candidate packing for detection post-processing.
+
+The post-processing front half reads the (B, N=110484, C=20) sigmoid score
+tensor and produces one packed int32 per anchor (quantized score in the
+high bits, class id in the low bits, -1 for dropped anchors). Under plain
+XLA this chain (quantize -> shift|or -> max -> argmax-validity -> where)
+materializes several (B, N, C) intermediates, and with C=20 in the minor
+dimension every one of them is lane-padded 20->128 in HBM — a ~6.4x
+bandwidth tax that made this readout the dominant cost of the eval step
+(~33 ms of a ~110 ms batch-32 step; see BENCH_NOTES.md round 1).
+
+This kernel does the whole thing in ONE pass: each grid step DMAs a
+(BLOCK_N, C) tile to VMEM, computes the packed winner per anchor entirely
+in registers, and writes (BLOCK_N,) int32 back — HBM traffic collapses to
+a single read of the score tensor plus a 0.8% output write.
+
+Winner semantics match the reference exactly
+(EfficientDet_post_processing, reference src/utils/utils.py:185-204): the
+winning class is the argmax over ALL classes; the anchor is dropped (not
+re-assigned) when that winner is below conf_threshold or class-invalid.
+Branchless trick: max(packed) over all classes vs max(packed where
+valid&above-threshold, else -1) — the anchor survives iff the two agree.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SCORE_BITS = 24
+CLASS_BITS = 5  # up to 32 classes packed below the quantized score
+
+_BLOCK_N = 4096
+
+
+def _pack_kernel(scores_ref, class_valid_ref, out_ref, *, conf_threshold):
+    scores = scores_ref[0]                        # (BLOCK_N, C) float32
+    c = scores.shape[-1]
+    q = (scores * float(1 << SCORE_BITS)).astype(jnp.int32)
+    cls_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    packed = (q << CLASS_BITS) | cls_ids          # (BLOCK_N, C)
+
+    overall = jnp.max(packed, axis=-1)            # winner incl. invalid
+    ok = (scores > conf_threshold) & (class_valid_ref[0, :c] != 0)
+    masked = jnp.where(ok, packed, -1)
+    best_ok = jnp.max(masked, axis=-1)            # winner among survivors
+    out_ref[0] = jnp.where(best_ok == overall, best_ok, -1)
+
+
+@functools.partial(jax.jit, static_argnames=('conf_threshold', 'interpret'))
+def packed_candidate_scores(classification: jnp.ndarray,
+                            class_valid: jnp.ndarray,
+                            conf_threshold: float,
+                            interpret: bool = False) -> jnp.ndarray:
+    """classification (B, N, C) float sigmoid scores; class_valid (C,) bool.
+
+    Returns (B, N) int32: ``(quantized_score << CLASS_BITS) | class`` for
+    surviving anchors, -1 for dropped ones. Feed straight into
+    ``jax.lax.top_k`` for candidate selection.
+    """
+    b, n, c = classification.shape
+    assert c <= (1 << CLASS_BITS), f'{c} classes exceed the packed budget'
+    grid = (b, pl.cdiv(n, _BLOCK_N))
+    valid_row = class_valid.astype(jnp.int32).reshape(1, c)
+    kernel = functools.partial(_pack_kernel,
+                               conf_threshold=float(conf_threshold))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_N, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_N), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        interpret=interpret,
+    )(classification.astype(jnp.float32), valid_row)

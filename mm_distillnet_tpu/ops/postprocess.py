@@ -53,7 +53,7 @@ _CLASS_BITS = 5  # up to 32 classes packed below the quantized score
 
 @functools.partial(jax.jit, static_argnames=(
     'image_size', 'conf_threshold', 'nms_threshold', 'num_candidates',
-    'max_detections', 'fast'))
+    'max_detections', 'fast', 'pallas'))
 def postprocess_detections(classification: jnp.ndarray,
                            regression: jnp.ndarray,
                            anchors: jnp.ndarray,
@@ -64,7 +64,8 @@ def postprocess_detections(classification: jnp.ndarray,
                            nms_threshold: float = 0.5,
                            num_candidates: int = 512,
                            max_detections: int = 100,
-                           fast: bool = True) -> Detections:
+                           fast: bool = True,
+                           pallas: bool = None) -> Detections:
     """classification (B, N, C) sigmoid scores; regression (B, N, 4);
     anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT.
 
@@ -81,17 +82,27 @@ def postprocess_detections(classification: jnp.ndarray,
     regression = regression.astype(jnp.float32)
     csize = float(image_size)
     n_cls = classification.shape[-1]
+    if pallas is None:
+        pallas = jax.default_backend() == 'tpu'
     if fast and n_cls <= (1 << _CLASS_BITS):
         # ---- packed int path ----
-        q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
-        cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
-        packed = (q << _CLASS_BITS) | cls_ids          # (B, N, C)
-        packed_max = jnp.max(packed, axis=-1)          # (B, N)
-        classes = packed_max & ((1 << _CLASS_BITS) - 1)
-        scores = (packed_max >> _CLASS_BITS).astype(jnp.float32) / \
-            float(1 << _SCORE_BITS)
-        valid = (scores > conf_threshold) & class_valid[classes]
-        masked = jnp.where(valid, packed_max, -1)
+        if pallas:
+            # one fused pass over (B, N, C): quantize + pack + winner
+            # validity, avoiding the lane-padded XLA intermediates
+            # (ops/pallas_postprocess.py)
+            from .pallas_postprocess import packed_candidate_scores
+            masked = packed_candidate_scores(classification, class_valid,
+                                             conf_threshold)
+        else:
+            q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
+            cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
+            packed = (q << _CLASS_BITS) | cls_ids        # (B, N, C)
+            packed_max = jnp.max(packed, axis=-1)        # (B, N)
+            classes = packed_max & ((1 << _CLASS_BITS) - 1)
+            scores = (packed_max >> _CLASS_BITS).astype(jnp.float32) / \
+                float(1 << _SCORE_BITS)
+            valid = (scores > conf_threshold) & class_valid[classes]
+            masked = jnp.where(valid, packed_max, -1)
         top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
         cand_valid = top_packed >= 0
         top_scores = (top_packed >> _CLASS_BITS).astype(jnp.float32) / \
