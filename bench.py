@@ -76,11 +76,17 @@ def main():
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
-    # Default baseline: the PyTorch reference's eval path (D2 fwd + decode
-    # + NMS) measured on this host's CPU torch — the only baseline
-    # measurable in this container (no CUDA; the reference publishes no
-    # throughput). Methodology + context in BENCH_NOTES.md.
-    baseline = float(os.environ.get('BENCH_BASELINE', '0.015') or 0)
+    # Baseline: the reference publishes no throughput number (BASELINE.md)
+    # and this container has no CUDA, so a measured same-hardware GPU
+    # comparison is impossible. We deliberately use a GENEROUS estimate for
+    # the reference: ~40 fps, the upper end of public V100 numbers for
+    # EfficientDet-D2 @768 with framework post-processing — the reference's
+    # actual eval loop would be slower still (it round-trips detections
+    # through the CPU for NMS per batch). The same-host torch-CPU
+    # measurement (0.015 fps, BENCH_NOTES.md) is recorded there for
+    # completeness but NOT used as the ratio denominator: a 4-5 orders of
+    # magnitude CPU ratio says nothing useful. Override with BENCH_BASELINE.
+    baseline = float(os.environ.get('BENCH_BASELINE', '40') or 0)
     vs = fps / baseline if baseline > 0 else 0.0
     print(json.dumps({
         'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
@@ -88,8 +94,9 @@ def main():
         'unit': 'frames/sec/chip',
         'vs_baseline': round(vs, 2),
         'baseline': baseline,
-        'baseline_note': 'torch-CPU reference path on same host '
-                         '(see BENCH_NOTES.md)',
+        'baseline_note': 'estimated reference throughput on a V100 (upper '
+                         'bound of public EfficientDet-D2@768 numbers); the '
+                         'reference publishes none (see BENCH_NOTES.md)',
     }))
 
 

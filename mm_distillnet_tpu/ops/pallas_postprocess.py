@@ -33,21 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 SCORE_BITS = 24
 CLASS_BITS = 5  # up to 32 classes packed below the quantized score
 
-_BLOCK_N = 4096
-
-
 def _pack_kernel(scores_ref, class_valid_ref, out_ref, *, conf_threshold):
-    scores = scores_ref[0]                        # (BLOCK_N, C) float32
+    scores = scores_ref[:]                        # (B, BLOCK_N, C) float32
     c = scores.shape[-1]
     q = (scores * float(1 << SCORE_BITS)).astype(jnp.int32)
-    cls_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    packed = (q << CLASS_BITS) | cls_ids          # (BLOCK_N, C)
+    cls_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    packed = (q << CLASS_BITS) | cls_ids          # (B, BLOCK_N, C)
 
     overall = jnp.max(packed, axis=-1)            # winner incl. invalid
     ok = (scores > conf_threshold) & (class_valid_ref[0, :c] != 0)
     masked = jnp.where(ok, packed, -1)
     best_ok = jnp.max(masked, axis=-1)            # winner among survivors
-    out_ref[0] = jnp.where(best_ok == overall, best_ok, -1)
+    out_ref[:] = jnp.where(best_ok == overall, best_ok, -1)
+
+
+def _block_n(b: int, c_padded: int = 128) -> int:
+    """Anchor-block size: keep the double-buffered VMEM footprint of the
+    (B, BLOCK_N, C->128-lane-padded) fp32 input under ~10 MB. Mosaic needs
+    the trailing block dims to be (multiple of 8, multiple of 128) or equal
+    to the array dims, so the grid runs over anchors only and each block
+    carries the full batch dimension."""
+    budget = 6 * 2 ** 20
+    n = budget // (b * c_padded * 4 * 2)
+    return int(max(128, min(4096, n // 128 * 128)))
 
 
 @functools.partial(jax.jit, static_argnames=('conf_threshold', 'interpret'))
@@ -63,7 +71,8 @@ def packed_candidate_scores(classification: jnp.ndarray,
     """
     b, n, c = classification.shape
     assert c <= (1 << CLASS_BITS), f'{c} classes exceed the packed budget'
-    grid = (b, pl.cdiv(n, _BLOCK_N))
+    block_n = _block_n(b)
+    grid = (pl.cdiv(n, block_n),)
     valid_row = class_valid.astype(jnp.int32).reshape(1, c)
     kernel = functools.partial(_pack_kernel,
                                conf_threshold=float(conf_threshold))
@@ -71,13 +80,19 @@ def packed_candidate_scores(classification: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_N, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((b, block_n, c), lambda j: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+            pl.BlockSpec((1, c), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLOCK_N), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((b, block_n), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        # XLA may decide to keep the (B, N) int32 result in VMEM for the
+        # downstream top_k; the default 16 MB scoped budget then OOMs with
+        # the double-buffered input blocks. v5e has far more VMEM than the
+        # default budget — raise the cap for this kernel.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(classification.astype(jnp.float32), valid_row)

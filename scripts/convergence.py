@@ -71,6 +71,25 @@ def _ap50(teachers, model, dataset, config):
     return float(ap['AP@0.5'].iloc[0])
 
 
+def _recalibrate(model, state, dataset, input_key, batch, sweeps=4):
+    """Short training runs leave BN running stats blended with their random
+    init (they converge at 0.99/step), which collapses the eval-mode
+    forward; re-estimate them exactly from the data before evaluating
+    (train/bn_recalibration.py)."""
+    from mm_distillnet_tpu.data.loader import collate
+    from mm_distillnet_tpu.train.bn_recalibration import \
+        recalibrate_batch_stats
+
+    n = len(dataset.ids)
+    batches = []
+    for _ in range(sweeps):
+        for start in range(0, n - batch + 1, batch):
+            samples = [dataset[i] for i in range(start, start + batch)]
+            batches.append(jnp.asarray(collate(samples, 16)[input_key]))
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    return recalibrate_batch_stats(model, variables, batches)
+
+
 def _mk(seed, ch, size, coef):
     from mm_distillnet_tpu.models.efficientdet import EfficientDet
     m = EfficientDet(num_classes=20, compound_coef=coef, dtype=jnp.float32)
@@ -92,8 +111,8 @@ def run(args):
     eval_set = SyntheticMultimodal(cfg_a, 'train')   # capability: overfit AP
     teacher = _mk(1, 3, args.size, args.coef)
     state = train({}, teacher, cfg_a, train_set, None)
-    teacher = (teacher[0], {'params': state.params,
-                            'batch_stats': state.batch_stats})
+    teacher = (teacher[0],
+               _recalibrate(teacher[0], state, train_set, 'rgb', args.batch))
     teacher_ap = _ap50({'rgb': teacher}, teacher, eval_set, cfg_a)
     print(f'[convergence] phase A teacher AP@0.5 = {teacher_ap:.2f}',
           file=sys.stderr)
@@ -113,8 +132,9 @@ def run(args):
 
     state = train({'rgb': teacher}, student, cfg_b,
                   SyntheticMultimodal(cfg_b, 'train'), None)
-    student = (student[0], {'params': state.params,
-                            'batch_stats': state.batch_stats})
+    student = (student[0],
+               _recalibrate(student[0], state, train_set, 'audio',
+                            args.batch))
     student_ap_after = _ap50({'rgb': teacher}, student, eval_set, cfg_eval)
     print(f'[convergence] phase B student AP@0.5 after = '
           f'{student_ap_after:.2f}', file=sys.stderr)
