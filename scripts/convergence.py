@@ -22,10 +22,20 @@ data, reference src/utils/utils.py:2018-2181):
 Both phases run through the public trainer (mm_distillnet_tpu.train.trainer
 .train) and evaluator, not a bespoke loop. Run on TPU (default) or CPU:
 
-    python scripts/convergence.py --size 256 --epochs-a 150 --epochs-b 200
+    python scripts/convergence.py --size 256 --epochs-a 400 --epochs-b 800
     MMDT_PLATFORM=cpu python scripts/convergence.py --size 128 ...
 
-Prints one JSON line with the three AP@0.5 numbers.
+Prints one JSON line with the AP@0.5 numbers (teacher vs GT, student vs GT
+before/after, student vs the teacher's own pseudo-labels).
+
+Measurement notes (from debugging this proof):
+- --size must be >= 256: the planted boxes only reach anchor IoU >= 0.5
+  from ~256px up (at 128 only 73% of GTs are assignable, capping AP);
+- --batch should equal --frames (full-batch steps): with sub-population
+  batches the net can overfit per-batch BN statistics that population
+  (eval-mode) stats cannot reproduce, deflating eval AP even after exact
+  BN recalibration — at batch 4/8 frames the phase-A teacher evaluated at
+  6 AP; at batch 8 the same budget reached 58.
 """
 from __future__ import annotations
 
@@ -55,7 +65,7 @@ def _config(args, **over):
         batch_size=args.batch, num_workers=1, resume=False,
         val_interval=10 ** 6, es_patience=10 ** 6,   # no mid-run val/ckpt
         optimizer='Adam', lr=args.lr, scheduler='StepLR',
-        step_size=10 ** 6, gamma=1.0,                # constant LR
+        step_size=args.step_size, gamma=args.gamma,
         max_gt=16, nms_candidates=128, max_det_per_teacher=16,
         max_detections=32, conf_threshold=0.3, nms_threshold=0.5,
         compute_dtype='float32', rank=0, fast_run=False,
@@ -139,10 +149,23 @@ def run(args):
     print(f'[convergence] phase B student AP@0.5 after = '
           f'{student_ap_after:.2f}', file=sys.stderr)
 
+    # transfer fidelity: student scored against the teacher's own fused
+    # pseudo-labels (the reference's eval paradigm when GT is withheld) —
+    # separates "distillation transferred the teacher's behavior" from
+    # "the teacher's behavior itself is imperfect vs GT"
+    cfg_vs_teacher = _config(args, num_epoches=0, use_labels=False,
+                             student_input='audio',
+                             exp_name=f'{args.exp_name}/student-vs-teacher')
+    student_vs_teacher = _ap50({'rgb': teacher}, student, eval_set,
+                               cfg_vs_teacher)
+    print(f'[convergence] phase B student-vs-teacher-labels AP@0.5 = '
+          f'{student_vs_teacher:.2f}', file=sys.stderr)
+
     result = {
         'teacher_ap50': round(teacher_ap, 2),
         'student_ap50_before': round(student_ap_before, 2),
         'student_ap50_after': round(student_ap_after, 2),
+        'student_vs_teacher_ap50': round(student_vs_teacher, 2),
         'size': args.size, 'frames': args.frames, 'coef': args.coef,
         'epochs_a': args.epochs_a, 'epochs_b': args.epochs_b,
     }
@@ -158,6 +181,10 @@ def parse_args(argv=None):
     p.add_argument('--coef', type=int, default=0,
                    help='EfficientDet compound coefficient')
     p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--step-size', type=int, default=10 ** 6,
+                   help='StepLR decay interval in epochs (default: none)')
+    p.add_argument('--gamma', type=float, default=1.0,
+                   help='StepLR decay factor')
     p.add_argument('--epochs-a', type=int, default=150)
     p.add_argument('--epochs-b', type=int, default=200)
     p.add_argument('--exp-name', default='convergence-run')
