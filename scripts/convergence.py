@@ -175,18 +175,25 @@ def run(args):
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
+    # Defaults are the MEASURED-to-converge recipe (BENCH_NOTES.md
+    # "Convergence proof"): overfit-AP is thresholdy — the phase-B student
+    # must reach cls-loss ~0.3 on the planted frames before eval-mode AP
+    # lights up (at cls ~2.0, AP stays ~1). A 400/800-epoch run with gamma
+    # 0.5 measured AP 0.9; this 600/1000 recipe with gamma 0.3 measured
+    # teacher 62.1 / student 40.5.
     p.add_argument('--size', type=int, default=256)
     p.add_argument('--frames', type=int, default=8)
-    p.add_argument('--batch', type=int, default=4)
+    p.add_argument('--batch', type=int, default=8,
+                   help='keep equal to --frames (full-batch BN, see notes)')
     p.add_argument('--coef', type=int, default=0,
                    help='EfficientDet compound coefficient')
     p.add_argument('--lr', type=float, default=1e-3)
-    p.add_argument('--step-size', type=int, default=10 ** 6,
-                   help='StepLR decay interval in epochs (default: none)')
-    p.add_argument('--gamma', type=float, default=1.0,
+    p.add_argument('--step-size', type=int, default=300,
+                   help='StepLR decay interval in epochs')
+    p.add_argument('--gamma', type=float, default=0.3,
                    help='StepLR decay factor')
-    p.add_argument('--epochs-a', type=int, default=150)
-    p.add_argument('--epochs-b', type=int, default=200)
+    p.add_argument('--epochs-a', type=int, default=600)
+    p.add_argument('--epochs-b', type=int, default=1000)
     p.add_argument('--exp-name', default='convergence-run')
     return p.parse_args(argv)
 

@@ -85,10 +85,8 @@ def test_two_phase_convergence(tmp_path):
     from scripts import convergence as C
 
     args = C.parse_args([
-        '--size', '256', '--frames', '8', '--batch', '8',
-        '--epochs-a', os.environ.get('MMDT_CONV_EPOCHS_A', '300'),
-        '--epochs-b', os.environ.get('MMDT_CONV_EPOCHS_B', '600'),
-        '--step-size', '200', '--gamma', '0.5',
+        '--epochs-a', os.environ.get('MMDT_CONV_EPOCHS_A', '600'),
+        '--epochs-b', os.environ.get('MMDT_CONV_EPOCHS_B', '1000'),
         '--exp-name', str(tmp_path / 'convergence')])
     result = C.run(args)
     print(json.dumps(result))
