@@ -123,3 +123,16 @@ def default_config(**overrides: Any):
     values = dict(DEFAULTS)
     values.update({str(k): str(v) for k, v in overrides.items()})
     return config_from_dict(values)
+
+
+def student_input_key(config) -> str:
+    """The batch modality fed to the student network.
+
+    The reference's config key is ``student_modality`` (dispatched at
+    reference src/utils/utils.py:1771-1776); ``student_input`` is this
+    build's extension (used by the convergence harness to train RGB-input
+    students) and takes precedence when set.
+    """
+    return (config.get('student_input', fallback=None)
+            or config.get('student_modality', fallback='audio')
+            or 'audio')

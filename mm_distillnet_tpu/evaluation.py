@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from .config import student_input_key
 from .data.base import prediction_to_label_lut, valid_prediction_ids
 from .data.loader import DataLoader
 from .distill.pseudo_labels import fuse_teacher_labels, teacher_detections
@@ -175,7 +176,7 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         target_classes: List[float] = []
         n_frames = 0
         start_time = time.time()
-        student_key = config.get('student_input', 'audio') or 'audio'
+        student_key = student_input_key(config)
         for bi, batch in enumerate(loader):
             audio = jnp.asarray(batch[student_key])
             pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import student_input_key
 from ..data.loader import DataLoader
 from ..distill.pseudo_labels import PseudoLabelConfig
 from ..distill.train_step import (DistillConfig, TrainState,
@@ -52,7 +53,7 @@ def distill_config_from(config, image_size: int) -> DistillConfig:
         mta_parity=config.getboolean('mta_parity_mode', fallback=True),
         kd_loss=config.get('kd_loss', 'MTALoss'),
         use_labels=config.getboolean('use_labels', fallback=False) or False,
-        student_input=config.get('student_input', 'audio') or 'audio',
+        student_input=student_input_key(config),
         audio_augmentation_merge=config.getboolean(
             'audio_augmentation_merge', fallback=False) or False,
         pl=PseudoLabelConfig(

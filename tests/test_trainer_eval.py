@@ -74,3 +74,16 @@ def test_evaluate_with_dataset_labels(tiny_setup):
     ap = evaluate(teachers, student, val_set, config)
     config['use_labels'] = 'False'
     assert np.isfinite(ap['AP@Ave']).all()
+
+
+def test_student_modality_key_honored():
+    """The reference's `student_modality` config key selects the student
+    input (reference src/utils/utils.py:1771-1776); the TPU-build extension
+    `student_input` takes precedence when set."""
+    from mm_distillnet_tpu.config import default_config, student_input_key
+    assert student_input_key(default_config()) == 'audio'
+    assert student_input_key(
+        default_config(student_modality='thermal')) == 'thermal'
+    assert student_input_key(
+        default_config(student_modality='thermal',
+                       student_input='rgb')) == 'rgb'
