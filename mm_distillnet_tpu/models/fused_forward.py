@@ -27,15 +27,35 @@ from ..models.heads import Classifier, Regressor
 from ..models.layers import BN_EPS, swish
 from ..ops.pallas_mbconv import (fold_mbconv, mbconv_fused,
                                  mbconv_vmem_bytes)
+from ..ops.pallas_mbconv_tiled import mbconv_tiled, tiled_vmem_bytes
 
 VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16MB limit
+TILED_BUDGET_BYTES = 100 * 1024 * 1024  # row-tiled kernel, raised VMEM cap
+
+
+def _parse_plan(spec: str, n_blocks: int):
+    """'tiled:0-5,pallas:6-10,flax:11-22' -> {block_index: kind}."""
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(','):
+        kind, _, rng = part.strip().partition(':')
+        if kind not in ('tiled', 'pallas', 'flax'):
+            raise ValueError(f'unknown fused-plan kind {kind!r}')
+        lo, _, hi = rng.partition('-')
+        lo = int(lo)
+        hi = int(hi) if hi else lo
+        for i in range(lo, min(hi, n_blocks - 1) + 1):
+            out[i] = kind
+    return out
 
 
 class FusedBackbone:
     """Holds folded weights + dispatch plan for one trained backbone."""
 
     def __init__(self, variables: Dict, compound_coef: int,
-                 image_size: int, dtype=jnp.bfloat16):
+                 image_size: int, dtype=jnp.bfloat16,
+                 plan_spec: str = ''):
         self.compound_coef = compound_coef
         self.dtype = dtype
         params = variables['params']['backbone_net']
@@ -51,17 +71,35 @@ class FusedBackbone:
         self.stem_bias = jnp.asarray(bn['bias'] - bn['mean'] * scale,
                                      jnp.float32)
 
-        # plan which blocks fuse (input spatial small enough for VMEM)
+        # Plan which kernel runs each block:
+        #   tiled  — row-tiled fused kernel (ops/pallas_mbconv_tiled): the
+        #            bandwidth-bound early blocks, where XLA's HBM
+        #            materialization of the expanded intermediate dominates;
+        #   pallas — whole-block-in-VMEM kernel (ops/pallas_mbconv): deep
+        #            blocks whose working set fits the 16 MB default;
+        #   flax   — XLA fallback.
+        # Override with plan_spec, e.g. 'tiled:0-5,flax:6-22' (benchmarking).
         spatial = image_size // 2
+        override = dict(_parse_plan(plan_spec, len(self.blocks)))
         self.plan: List[Tuple[str, Any]] = []
         for i, args in enumerate(self.blocks):
             bp = params[f'_blocks_{i}']
             bs = stats[f'_blocks_{i}']
-            if mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
-                self.plan.append(('pallas', (args, fold_mbconv(bp, bs, args))))
-            else:
+            kind = override.get(i)
+            if kind is None:
+                if tiled_vmem_bytes(args, spatial) <= TILED_BUDGET_BYTES \
+                        and mbconv_vmem_bytes(args, spatial) > \
+                        VMEM_BUDGET_BYTES:
+                    kind = 'tiled'
+                elif mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
+                    kind = 'pallas'
+                else:
+                    kind = 'flax'
+            if kind == 'flax':
                 self.plan.append(('flax', (args, {'params': bp,
                                                   'batch_stats': bs})))
+            else:
+                self.plan.append((kind, (args, fold_mbconv(bp, bs, args))))
             spatial //= args.stride
 
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -80,6 +118,8 @@ class FusedBackbone:
                 feature_maps.append(last_x)
             if kind == 'pallas':
                 x = mbconv_fused(x, payload[1], args)
+            elif kind == 'tiled':
+                x = mbconv_tiled(x, payload[1], args)
             else:
                 x = MBConvBlock(args, dtype=self.dtype).apply(
                     payload[1], x, train=False)
@@ -90,12 +130,12 @@ class FusedBackbone:
 
 
 def make_fused_predictor(model: EfficientDet, variables: Dict,
-                         image_size: int):
+                         image_size: int, plan_spec: str = ''):
     """Returns fn(x) -> DetectorOutput using the fused backbone. The
     closure captures folded weights as constants of the jitted function."""
     cc = model.compound_coef
     backbone = FusedBackbone(variables, BACKBONE_COEF[cc], image_size,
-                             dtype=model.dtype)
+                             dtype=model.dtype, plan_spec=plan_spec)
     bifpn = BiFPN(num_channels=FPN_NUM_FILTERS[cc],
                   num_repeats=FPN_CELL_REPEATS[cc], attention=cc < 6,
                   dtype=model.dtype)
