@@ -53,13 +53,30 @@ def main():
     anchors = jnp.asarray(anchor_table(size))
     class_valid = jnp.asarray(class_validity_table(20, [6]))
 
-    @jax.jit
-    def predict(variables, x):
-        out = model.apply(variables, x, train=False)
-        dets = postprocess_detections(
-            out.classification, out.regression, anchors, class_valid,
-            image_size=size, num_candidates=256, max_detections=32)
-        return dets.boxes, dets.scores, dets.classes, dets.valid
+    # BENCH_FUSED=1 benches the fused-backbone path (Pallas MBConv kernels
+    # per the FusedBackbone plan; BENCH_PLAN overrides it, e.g.
+    # 'tiled:0-5,flax:6-22' — see scripts/bench_mbconv_blocks.py).
+    if os.environ.get('BENCH_FUSED'):
+        from mm_distillnet_tpu.models.fused_forward import \
+            make_fused_predictor
+        fwd = make_fused_predictor(model, variables, size,
+                                   plan_spec=os.environ.get('BENCH_PLAN', ''))
+
+        @jax.jit
+        def predict(variables, x):
+            out = fwd(x)
+            dets = postprocess_detections(
+                out.classification, out.regression, anchors, class_valid,
+                image_size=size, num_candidates=256, max_detections=32)
+            return dets.boxes, dets.scores, dets.classes, dets.valid
+    else:
+        @jax.jit
+        def predict(variables, x):
+            out = model.apply(variables, x, train=False)
+            dets = postprocess_detections(
+                out.classification, out.regression, anchors, class_valid,
+                image_size=size, num_candidates=256, max_detections=32)
+            return dets.boxes, dets.scores, dets.classes, dets.valid
 
     # Warm-up / compile, then timed loop. Sync discipline: the axon relay
     # costs ~27ms per host round-trip and block_until_ready does not

@@ -137,13 +137,23 @@ def _kernel(args: BlockArgs, h: int, w: int, cep: int, th: int,
         s2 = jax.nn.sigmoid(jnp.dot(s1, w_se2_ref[:],
                                     preferred_element_type=jnp.float32)
                             + b_se2_ref[:])           # (1, cep)
-        dm = dw_ref[:].reshape(ho * wo, cep)
-        gated = (dm.astype(jnp.float32) * s2).astype(jnp.bfloat16)
-        out = jnp.dot(gated, w_prj_ref[:],
-                      preferred_element_type=jnp.float32) + b_prj_ref[:]
-        if has_skip:
-            out = out + x_ref[0].reshape(ho * wo, cin).astype(jnp.float32)
-        o_ref[0] = out.reshape(ho, wo, co).astype(jnp.bfloat16)
+        # Project in row chunks: a single (Ho*Wo, CeP) f32 gated temp would
+        # be ~75 MB at 384px and overflow VMEM together with the scratches.
+        n_pc = 1
+        while (ho // n_pc) * wo * cep * 4 > 24 * 2 ** 20:
+            n_pc *= 2
+        rc = ho // n_pc
+        s2b = s2.astype(jnp.bfloat16)
+        for c in range(n_pc):
+            dm = dw_ref[c * rc:(c + 1) * rc].reshape(rc * wo, cep)
+            gated = dm * s2b
+            out = jnp.dot(gated, w_prj_ref[:],
+                          preferred_element_type=jnp.float32) + b_prj_ref[:]
+            if has_skip:
+                out = out + x_ref[0, c * rc:(c + 1) * rc].reshape(
+                    rc * wo, cin).astype(jnp.float32)
+            o_ref[0, c * rc:(c + 1) * rc] = out.reshape(
+                rc, wo, co).astype(jnp.bfloat16)
 
 
 def _default_tile(ho: int) -> int:
