@@ -57,12 +57,13 @@ def _kernel(args: BlockArgs, h: int, w: int, cep: int, th: int,
             has_skip: bool,
             x_ref, w_exp_ref, b_exp_ref, w_dw_ref, b_dw_ref,
             w_se1_ref, b_se1_ref, w_se2_ref, b_se2_ref,
-            w_prj_ref, b_prj_ref, o_ref, dw_ref, sum_ref, eb_ref):
+            w_prj_ref, b_prj_ref, ident_ref, o_ref, dw_ref, sum_ref,
+            eb_ref):
     k = args.kernel_size
     s = args.stride
     ho, wo = h // s, w // s
     cin = args.input_filters
-    co = o_ref.shape[-1]
+    co = w_prj_ref.shape[-1]        # o_ref's minor dim is merged (wo*co)
     t = pl.program_id(1)
     n_tiles = ho // th
 
@@ -86,17 +87,21 @@ def _kernel(args: BlockArgs, h: int, w: int, cep: int, th: int,
     safe0 = jnp.clip(row0, 0, h - span_h)
     shift = row0 - safe0                  # -pt (top tile) .. +pb (bottom)
 
-    x_rows = x_ref[0, pl.ds(safe0, span_h)]          # (span_h, W, Cin)
+    # x_ref carries (1, H, Cin, W): H is UNTILED (the dynamic row offset
+    # below is legal) and the tiled minor dims (Cin, W) avoid Mosaic
+    # lane-padding a 16/24-channel minor dim to 128 (72 MB window at
+    # 384px otherwise). The expand matmul contracts Cin directly from this
+    # layout via dot_general — no in-kernel transpose/lane-split reshape.
+    x_rows = x_ref[0, pl.ds(safe0, span_h)]          # (span_h, Cin, W)
 
-    # ---- expand 1x1 + swish ----
-    xm = x_rows.reshape(span_h * w, cin)
+    # ---- expand 1x1 + swish: (span_h, Cin, W) x (Cin, CeP) ----
+    dn = (((1,), (0,)), ((), ()))
+    e = jax.lax.dot_general(x_rows, w_exp_ref[:], dn,
+                            preferred_element_type=jnp.float32)
+    # (span_h, W, CeP)
     if args.expand_ratio != 1:
-        e = jnp.dot(xm.astype(jnp.bfloat16), w_exp_ref[:],
-                    preferred_element_type=jnp.float32)
-        e = _swish(e + b_exp_ref[:]).astype(jnp.bfloat16)
-    else:
-        e = jnp.pad(xm, ((0, 0), (0, cep - cin))).astype(jnp.bfloat16)
-    e = e.reshape(span_h, w, cep)
+        e = _swish(e + b_exp_ref[:])
+    e = e.astype(jnp.bfloat16)
 
     # ---- place into the zero halo buffer ----
     eb_ref[:] = jnp.zeros_like(eb_ref)
@@ -140,7 +145,7 @@ def _kernel(args: BlockArgs, h: int, w: int, cep: int, th: int,
         # Project in row chunks: a single (Ho*Wo, CeP) f32 gated temp would
         # be ~75 MB at 384px and overflow VMEM together with the scratches.
         n_pc = 1
-        while (ho // n_pc) * wo * cep * 4 > 24 * 2 ** 20:
+        while (ho // n_pc) * wo * cep * 4 > 8 * 2 ** 20 and n_pc < ho // 8:
             n_pc *= 2
         rc = ho // n_pc
         s2b = s2.astype(jnp.bfloat16)
@@ -150,10 +155,15 @@ def _kernel(args: BlockArgs, h: int, w: int, cep: int, th: int,
             out = jnp.dot(gated, w_prj_ref[:],
                           preferred_element_type=jnp.float32) + b_prj_ref[:]
             if has_skip:
-                out = out + x_ref[0, c * rc:(c + 1) * rc].reshape(
-                    rc * wo, cin).astype(jnp.float32)
-            o_ref[0, c * rc:(c + 1) * rc] = out.reshape(
-                rc, wo, co).astype(jnp.bfloat16)
+                # x is (rc, Cin, W); route it through the identity matmul
+                # to (rc, W, Cin) without a lane-layout transpose
+                xs = jax.lax.dot_general(
+                    x_ref[0, c * rc:(c + 1) * rc], ident_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = out + xs.reshape(rc * wo, cin)
+            o_ref[0, c * rc:(c + 1) * rc] = out.astype(jnp.bfloat16) \
+                .reshape(rc, wo, co)
 
 
 def _default_tile(ho: int) -> int:
@@ -204,9 +214,12 @@ def mbconv_tiled(x: jnp.ndarray, folded: FoldedMBConv, args: BlockArgs,
     kernel = functools.partial(_kernel, args, h, w, cep, th, has_skip)
     rep = lambda a: pl.BlockSpec(a.shape, lambda bi, ti: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
+    ident = jnp.eye(cin, dtype=jnp.bfloat16)
     if folded.w_exp is None:
-        w_exp = jnp.zeros((1, LANE), jnp.bfloat16)
-        b_exp = jnp.zeros((1, LANE), jnp.float32)
+        # expand_ratio == 1: route x through a padded identity so the
+        # dot_general still converts (rows, Cin, W) -> (rows, W, CeP)
+        w_exp = jnp.pad(ident, ((0, 0), (0, cep - cin)))
+        b_exp = jnp.zeros((1, cep), jnp.float32)
     else:
         w_exp, b_exp = folded.w_exp, folded.b_exp
 
@@ -214,14 +227,17 @@ def mbconv_tiled(x: jnp.ndarray, folded: FoldedMBConv, args: BlockArgs,
         kernel,
         grid=(b, ho // th),
         in_specs=[
-            # constant index in t -> Mosaic keeps the image resident
-            pl.BlockSpec((1, h, w, cin), lambda bi, ti: (bi, 0, 0, 0),
+            # constant index in t -> Mosaic keeps the image resident.
+            # (1, H, Cin, W): H untiled (dynamic row offsets legal); the
+            # tiled minor dims (Cin, W) avoid lane-padding small Cin
+            pl.BlockSpec((1, h, cin, w), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             rep(w_exp), rep(b_exp),
             rep(folded.w_dw), rep(folded.b_dw),
             rep(folded.w_se1), rep(folded.b_se1),
             rep(folded.w_se2), rep(folded.b_se2),
             rep(folded.w_prj), rep(folded.b_prj),
+            rep(ident),
         ],
         out_specs=pl.BlockSpec((1, ho, wo, co),
                                lambda bi, ti: (bi, 0, 0, 0),
@@ -234,9 +250,10 @@ def mbconv_tiled(x: jnp.ndarray, folded: FoldedMBConv, args: BlockArgs,
                        jnp.bfloat16),                         # halo buffer
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20),
+            vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), w_exp, b_exp, folded.w_dw, folded.b_dw,
+    )(x.astype(jnp.bfloat16).transpose(0, 1, 3, 2),
+      w_exp, b_exp, folded.w_dw, folded.b_dw,
       folded.w_se1, folded.b_se1, folded.w_se2, folded.b_se2,
-      folded.w_prj, folded.b_prj)
+      folded.w_prj, folded.b_prj, ident)
     return out

@@ -83,26 +83,34 @@ def postprocess_detections(classification: jnp.ndarray,
     csize = float(image_size)
     n_cls = classification.shape[-1]
     if pallas is None:
-        pallas = jax.default_backend() == 'tpu'
+        # The pallas pack kernel is numerically identical but measured
+        # SLOWER end-to-end on v5e (custom-call blocks XLA fusion with the
+        # producing heads; BENCH_NOTES.md round 2) — opt-in only.
+        pallas = False
     if fast and n_cls <= (1 << _CLASS_BITS):
         # ---- packed int path ----
         if pallas:
             # one fused pass over (B, N, C): quantize + pack + winner
-            # validity, avoiding the lane-padded XLA intermediates
-            # (ops/pallas_postprocess.py)
+            # validity (ops/pallas_postprocess.py)
             from .pallas_postprocess import packed_candidate_scores
             masked = packed_candidate_scores(classification, class_valid,
                                              conf_threshold)
         else:
+            # Branchless winner-validity (same trick as the pallas kernel):
+            # the winning class is the argmax over ALL classes; the anchor
+            # is dropped — never reassigned — when that winner is below
+            # conf_threshold or class-invalid (reference
+            # EfficientDet_post_processing, utils.py:185-204). Comparing
+            # max-over-all with max-over-surviving reproduces that without
+            # the (B, N) `class_valid[classes]` gather, which XLA lowers
+            # to a ~25 ms elementwise gather at batch 32 (BENCH_NOTES.md).
             q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
             cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
             packed = (q << _CLASS_BITS) | cls_ids        # (B, N, C)
-            packed_max = jnp.max(packed, axis=-1)        # (B, N)
-            classes = packed_max & ((1 << _CLASS_BITS) - 1)
-            scores = (packed_max >> _CLASS_BITS).astype(jnp.float32) / \
-                float(1 << _SCORE_BITS)
-            valid = (scores > conf_threshold) & class_valid[classes]
-            masked = jnp.where(valid, packed_max, -1)
+            overall = jnp.max(packed, axis=-1)           # (B, N)
+            ok = (classification > conf_threshold) & (class_valid != 0)
+            best_ok = jnp.max(jnp.where(ok, packed, -1), axis=-1)
+            masked = jnp.where(best_ok == overall, best_ok, -1)
         top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
         cand_valid = top_packed >= 0
         top_scores = (top_packed >> _CLASS_BITS).astype(jnp.float32) / \
