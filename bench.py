@@ -42,8 +42,11 @@ def main():
                                                    postprocess_detections)
 
     size = int(os.environ.get('BENCH_IMAGE_SIZE', '768'))
-    batch = int(os.environ.get('BENCH_BATCH', '32'))
-    iters = int(os.environ.get('BENCH_ITERS', '20'))
+    # throughput scales with batch now that post-processing no longer does
+    # (BENCH_NOTES.md round 2: 16->310, 32->390, 64->565, 128->646 fps);
+    # default to the measured-best batch
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    iters = int(os.environ.get('BENCH_ITERS', '15'))
 
     model = EfficientDet(num_classes=20, compound_coef=2,
                          dtype=jnp.bfloat16)

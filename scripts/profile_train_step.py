@@ -125,7 +125,12 @@ def profile(batch_size):
 
     def full(state, t_vars, batch):
         new_state, metrics = step(state, t_vars, batch, jax.random.PRNGKey(3))
-        return metrics['Total_loss']
+        # depend on EVERY updated parameter — returning only the loss (or
+        # a single leaf) lets XLA dead-code-eliminate most of the backward
+        # pass + optimizer and report a fantasy step time
+        dep = sum(l.sum().astype(jnp.float32)
+                  for l in jax.tree_util.tree_leaves(new_state.params))
+        return metrics['Total_loss'] + dep
 
     times = {}
     times['teachers_fwd'] = device_time(teachers_fwd, (t_vars, batch),
