@@ -17,6 +17,20 @@ import numpy as np
 import pytest
 
 from mm_distillnet_tpu.config import default_config
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _import_train_cli():
+    """Import the REPO's train.py by path: a bare `import train` is
+    test-order dependent — the reference-parity tests put /root/reference
+    on sys.path, whose own train.py then shadows ours."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'mmdt_train_cli', os.path.join(_REPO_ROOT, 'train.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 from mm_distillnet_tpu.data.loader import collate
 from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
 from mm_distillnet_tpu.distill.pseudo_labels import PseudoLabelConfig
@@ -97,7 +111,7 @@ def test_pretrain_training_phase(tmp_path):
     """pretrain=True without a checkpoint runs a 'traditional' stage into
     {exp_name}/pretrain and threads the trained weights back."""
     os.chdir(tmp_path)
-    import train as train_cli
+    train_cli = _import_train_cli()
 
     config = default_config(
         image_size=SIZE, synthetic_size=4, batch_size=2, num_epoches=1,
@@ -134,7 +148,7 @@ def test_pretrain_checkpoint_path_branch(tmp_path):
     os.chdir(tmp_path)
     import orbax.checkpoint as ocp
 
-    import train as train_cli
+    train_cli = _import_train_cli()
 
     model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
     v1 = jax.jit(model.init)(jax.random.PRNGKey(0),
