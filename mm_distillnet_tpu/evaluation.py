@@ -154,7 +154,13 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
             and len(teacher_models) > 1):
         testing_points = ['ALL']
 
-    loader = DataLoader(test_set, config.getint('batch_size'),
+    # Evaluation throughput scales with batch on TPU (BENCH_NOTES.md:
+    # 310/390/565/646 fps at 16/32/64/128); eval_batch_size decouples the
+    # inference batch from the training batch_size (reference evaluates at
+    # the training batch, utils.py:2018-2030 — kept as the default).
+    eval_batch = config.getint('eval_batch_size',
+                               fallback=config.getint('batch_size'))
+    loader = DataLoader(test_set, eval_batch,
                         shuffle=False, drop_last=False,
                         num_workers=config.getint('num_workers', fallback=4))
     fast_run = config.getboolean('fast_run', fallback=False)

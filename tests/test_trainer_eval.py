@@ -87,3 +87,14 @@ def test_student_modality_key_honored():
     assert student_input_key(
         default_config(student_modality='thermal',
                        student_input='rgb')) == 'rgb'
+
+
+def test_eval_batch_size_override(tiny_setup):
+    """eval_batch_size decouples inference batch from training batch."""
+    config, train_set, val_set, teachers, student = tiny_setup
+    config['eval_batch_size'] = '4'
+    try:
+        ap = evaluate(teachers, student, val_set, config)
+    finally:
+        del config['eval_batch_size']
+    assert np.isfinite(ap['AP@Ave']).all()
