@@ -183,6 +183,25 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         n_frames = 0
         start_time = time.time()
         student_key = student_input_key(config)
+        def _drain(entry):
+            batch, n, pred_rows, fused = entry
+            # host reads happen here, AFTER the next batch's device work
+            # has been dispatched (one-batch software pipeline: each host
+            # round-trip through the axon relay costs ~27 ms and would
+            # otherwise serialize with the device)
+            preds = _rows_with_scores_to_lists(np.asarray(pred_rows))
+            fused = np.asarray(fused)
+            labels = labels_to_lists(fused)
+            all_predictions.append(preds)
+            all_labels.append(labels)
+            for img_labels in labels:
+                target_classes.extend([r[4] for r in img_labels])
+            nonlocal n_frames
+            n_frames += n
+            if save_ann:
+                _save_fused_annotations(config, batch['id'], fused)
+
+        pending = None
         for bi, batch in enumerate(loader):
             audio = jnp.asarray(batch[student_key])
             pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)
@@ -195,20 +214,15 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
                 dev_inputs = {m: jnp.asarray(batch[m])
                               for m in ('rgb', 'thermal', 'depth', 'audio')
                               if m in batch}
-                fused = np.asarray(fused_fn(t_vars, dev_inputs, class_valid,
-                                            pred_to_label))
-            preds = _rows_with_scores_to_lists(np.asarray(pred_rows))
-            labels = labels_to_lists(np.asarray(fused))
-            all_predictions.append(preds)
-            all_labels.append(labels)
-            for img_labels in labels:
-                target_classes.extend([r[4] for r in img_labels])
-            n_frames += audio.shape[0]
-            if save_ann:
-                _save_fused_annotations(config, batch['id'],
-                                        np.asarray(fused))
+                fused = fused_fn(t_vars, dev_inputs, class_valid,
+                                 pred_to_label)
+            if pending is not None:
+                _drain(pending)
+            pending = (batch, audio.shape[0], pred_rows, fused)
             if fast_run and bi >= 1:
                 break
+        if pending is not None:
+            _drain(pending)
         elapsed = time.time() - start_time
 
         total_params = count_params(s_vars)
