@@ -52,11 +52,16 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     gt_valid = annotations[:, 4] != -1                      # (G,)
     n_gt = jnp.sum(gt_valid)
 
-    cls = jnp.clip(classification, CLS_CLAMP, 1.0 - CLS_CLAMP)
+    # The classification chain runs in (C, N) orientation so the minor dim
+    # (N, a multiple of 128) is lane-padding-free; measured neutral vs
+    # (N, C) on v5e — XLA fuses the elementwise chain either way — and
+    # kept for layout hygiene. The real cost here is transcendental ops
+    # (log/pow over N*C elements); see BENCH_NOTES.md round 2.
+    cls_t = jnp.clip(classification.T, CLS_CLAMP, 1.0 - CLS_CLAMP)  # (C, N)
 
     # ---- negatives-only branch (image with no annotations) ----
-    neg_only_cls = jnp.sum((1.0 - ALPHA) * jnp.power(cls, GAMMA) *
-                           (-jnp.log(1.0 - cls)))
+    neg_only_cls = jnp.sum((1.0 - ALPHA) * jnp.power(cls_t, GAMMA) *
+                           (-jnp.log(1.0 - cls_t)))
 
     # ---- full branch ----
     iou = iou_anchors_vs_gt(anchors, annotations[:, :4])    # (N, G)
@@ -65,24 +70,35 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     iou_max = jnp.max(iou, axis=1)
     iou_argmax = jnp.argmax(iou, axis=1)
 
-    assigned = annotations[iou_argmax]                      # (N, 5)
+    # Select each anchor's assigned GT row via one-hot matmul, NOT
+    # annotations[iou_argmax]: a (N,)-computed-index gather (and its
+    # scatter transpose in the backward pass) is ~10x slower on TPU than
+    # the (N, G) @ (G, 5) contraction; one_hot lowers to an iota compare,
+    # no gather anywhere. Values are identical (argmax picks one row).
+    assign_oh = jax.nn.one_hot(iou_argmax, annotations.shape[0],
+                               dtype=jnp.float32)            # (N, G)
+    assigned = assign_oh @ annotations                       # (N, 5)
     positive = iou_max >= 0.5
     negative = iou_max < 0.4
     num_pos = jnp.sum(positive)
 
     # classification targets: one-hot for positives, zeros for negatives,
-    # ignore band contributes nothing.
+    # ignore band contributes nothing. (C, N) orientation; the one-hot is
+    # an iota compare (gather-free).
     labels = jnp.clip(assigned[:, 4].astype(jnp.int32), 0, num_classes - 1)
-    one_hot = jax.nn.one_hot(labels, num_classes, dtype=cls.dtype)
-    targets = jnp.where(positive[:, None], one_hot, 0.0)
-    care = (positive | negative)[:, None]
+    class_iota = jnp.arange(num_classes, dtype=jnp.int32)[:, None]  # (C, 1)
+    targets = jnp.where(positive[None, :] & (labels[None, :] == class_iota),
+                        1.0, 0.0)                               # (C, N)
+    care = (positive | negative)[None, :]
 
     alpha_factor = jnp.where(targets == 1.0, ALPHA, 1.0 - ALPHA)
-    focal_weight = jnp.where(targets == 1.0, 1.0 - cls, cls)
+    focal_weight = jnp.where(targets == 1.0, 1.0 - cls_t, cls_t)
     focal_weight = alpha_factor * jnp.power(focal_weight, GAMMA)
-    bce = -(targets * jnp.log(cls) + (1.0 - targets) * jnp.log(1.0 - cls))
+    bce = -(targets * jnp.log(cls_t) +
+            (1.0 - targets) * jnp.log(1.0 - cls_t))
     cls_loss_full = jnp.sum(jnp.where(care, focal_weight * bce, 0.0))
-    cls_loss_full = cls_loss_full / jnp.clip(num_pos.astype(cls.dtype), min=1.0)
+    cls_loss_full = cls_loss_full / \
+        jnp.clip(num_pos.astype(cls_t.dtype), min=1.0)
 
     # regression targets for positive anchors
     anchor_h = anchors[:, 2] - anchors[:, 0]
@@ -103,7 +119,7 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
 
     reg_loss_each = jnp.sum(_smooth_l1(reg_targets - regression), axis=1) / 4.0
     reg_loss_full = jnp.sum(jnp.where(positive, reg_loss_each, 0.0)) / \
-        jnp.clip(num_pos.astype(cls.dtype), min=1.0)
+        jnp.clip(num_pos.astype(cls_t.dtype), min=1.0)
     reg_loss_full = jnp.where(num_pos > 0, reg_loss_full, 0.0)
 
     has_gt = n_gt > 0
