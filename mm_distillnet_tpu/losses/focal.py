@@ -34,6 +34,15 @@ CLS_CLAMP = 1e-4
 SMOOTH_L1_BETA = 1.0 / 9.0
 
 
+def _pow_gamma(x: jnp.ndarray) -> jnp.ndarray:
+    """x**GAMMA. jnp.power with a float exponent lowers to exp(g*log(x))
+    — two transcendentals per element over (B, N, C); plain multiply for
+    the shipped gamma=2."""
+    if GAMMA == 2.0:
+        return x * x
+    return jnp.power(x, GAMMA)
+
+
 def _smooth_l1(diff: jnp.ndarray) -> jnp.ndarray:
     ad = jnp.abs(diff)
     return jnp.where(ad <= SMOOTH_L1_BETA,
@@ -60,7 +69,7 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     cls_t = jnp.clip(classification.T, CLS_CLAMP, 1.0 - CLS_CLAMP)  # (C, N)
 
     # ---- negatives-only branch (image with no annotations) ----
-    neg_only_cls = jnp.sum((1.0 - ALPHA) * jnp.power(cls_t, GAMMA) *
+    neg_only_cls = jnp.sum((1.0 - ALPHA) * _pow_gamma(cls_t) *
                            (-jnp.log(1.0 - cls_t)))
 
     # ---- full branch ----
@@ -93,7 +102,7 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
 
     alpha_factor = jnp.where(targets == 1.0, ALPHA, 1.0 - ALPHA)
     focal_weight = jnp.where(targets == 1.0, 1.0 - cls_t, cls_t)
-    focal_weight = alpha_factor * jnp.power(focal_weight, GAMMA)
+    focal_weight = alpha_factor * _pow_gamma(focal_weight)
     bce = -(targets * jnp.log(cls_t) +
             (1.0 - targets) * jnp.log(1.0 - cls_t))
     cls_loss_full = jnp.sum(jnp.where(care, focal_weight * bce, 0.0))
