@@ -38,6 +38,9 @@ class DetectorOutput(NamedTuple):
     features: Tuple[jnp.ndarray, ...]    # 5 BiFPN maps (features_from='efficientnet')
     align_features: jnp.ndarray          # concat of head pre-header features
                                          # (features_from='header')
+    logits: Any = None                   # (B, N, num_classes) pre-sigmoid
+                                         # scores; the focal loss consumes
+                                         # these (losses/focal.py)
 
 
 class EfficientDet(nn.Module):
@@ -48,6 +51,7 @@ class EfficientDet(nn.Module):
     compound_coef: int = 2
     features_from: str = 'efficientnet'
     dtype: Any = jnp.bfloat16
+    s2d_stem: bool = False  # space-to-depth stem rewrite (same params)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> DetectorOutput:
@@ -60,7 +64,7 @@ class EfficientDet(nn.Module):
         # (reference src/YetAnotherEfficientDet.py:664-667).
         feats = EfficientNetFeatures(
             compound_coef=BACKBONE_COEF[cc], dtype=self.dtype,
-            name='backbone_net')(x, train=train)
+            s2d_stem=self.s2d_stem, name='backbone_net')(x, train=train)
         p3, p4, p5 = feats[1], feats[2], feats[3]
 
         features = BiFPN(num_channels=FPN_NUM_FILTERS[cc],
@@ -72,7 +76,7 @@ class EfficientDet(nn.Module):
             num_anchors=NUM_ANCHORS_PER_CELL,
             num_layers=BOX_CLASS_REPEATS[cc], dtype=self.dtype,
             name='regressor')(features, train=train)
-        classification, align_cls = Classifier(
+        classification, cls_logits, align_cls = Classifier(
             num_anchors=NUM_ANCHORS_PER_CELL, num_classes=self.num_classes,
             num_layers=BOX_CLASS_REPEATS[cc], dtype=self.dtype,
             name='classifier')(features, train=train)
@@ -83,6 +87,7 @@ class EfficientDet(nn.Module):
             regression=regression.astype(jnp.float32),
             features=tuple(features),
             align_features=align,
+            logits=cls_logits.astype(jnp.float32),
         )
 
     def distill_features(self, out: DetectorOutput):

@@ -115,7 +115,7 @@ class EfficientDetGenerator(nn.Module):
             num_anchors=NUM_ANCHORS_PER_CELL,
             num_layers=BOX_CLASS_REPEATS[cc], dtype=self.dtype,
             name='regressor')(features, train=train)
-        classification, align_cls = Classifier(
+        classification, cls_logits, align_cls = Classifier(
             num_anchors=NUM_ANCHORS_PER_CELL, num_classes=self.num_classes,
             num_layers=BOX_CLASS_REPEATS[cc], dtype=self.dtype,
             name='classifier')(features, train=train)
@@ -125,4 +125,5 @@ class EfficientDetGenerator(nn.Module):
             classification=classification.astype(jnp.float32),
             regression=regression.astype(jnp.float32),
             features=tuple(features),
-            align_features=align)
+            align_features=align,
+            logits=cls_logits.astype(jnp.float32))

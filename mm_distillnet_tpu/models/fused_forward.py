@@ -27,20 +27,18 @@ from ..models.heads import Classifier, Regressor
 from ..models.layers import BN_EPS, swish
 from ..ops.pallas_mbconv import (fold_mbconv, mbconv_fused,
                                  mbconv_vmem_bytes)
-from ..ops.pallas_mbconv_tiled import mbconv_tiled, tiled_vmem_bytes
 
 VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16MB limit
-TILED_BUDGET_BYTES = 100 * 1024 * 1024  # row-tiled kernel, raised VMEM cap
 
 
 def _parse_plan(spec: str, n_blocks: int):
-    """'tiled:0-5,pallas:6-10,flax:11-22' -> {block_index: kind}."""
+    """'pallas:6-10,flax:11-22' -> {block_index: kind}."""
     if not spec:
         return {}
     out = {}
     for part in spec.split(','):
         kind, _, rng = part.strip().partition(':')
-        if kind not in ('tiled', 'pallas', 'flax'):
+        if kind not in ('pallas', 'flax'):
             raise ValueError(f'unknown fused-plan kind {kind!r}')
         lo, _, hi = rng.partition('-')
         lo = int(lo)
@@ -72,13 +70,13 @@ class FusedBackbone:
                                      jnp.float32)
 
         # Plan which kernel runs each block:
-        #   tiled  — row-tiled fused kernel (ops/pallas_mbconv_tiled): the
-        #            bandwidth-bound early blocks, where XLA's HBM
-        #            materialization of the expanded intermediate dominates;
         #   pallas — whole-block-in-VMEM kernel (ops/pallas_mbconv): deep
         #            blocks whose working set fits the 16 MB default;
-        #   flax   — XLA fallback.
-        # Override with plan_spec, e.g. 'tiled:0-5,flax:6-22' (benchmarking).
+        #   flax   — XLA (the measured default winner on every block:
+        #            BENCH_NOTES.md round-2 per-block A/B; the row-tiled
+        #            early-block kernel was retired after losing 3-10x on
+        #            all 23 blocks).
+        # Override with plan_spec, e.g. 'pallas:6-22' (benchmarking).
         spatial = image_size // 2
         override = dict(_parse_plan(plan_spec, len(self.blocks)))
         self.plan: List[Tuple[str, Any]] = []
@@ -87,11 +85,7 @@ class FusedBackbone:
             bs = stats[f'_blocks_{i}']
             kind = override.get(i)
             if kind is None:
-                if tiled_vmem_bytes(args, spatial) <= TILED_BUDGET_BYTES \
-                        and mbconv_vmem_bytes(args, spatial) > \
-                        VMEM_BUDGET_BYTES:
-                    kind = 'tiled'
-                elif mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
+                if mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
                     kind = 'pallas'
                 else:
                     kind = 'flax'
@@ -118,8 +112,6 @@ class FusedBackbone:
                 feature_maps.append(last_x)
             if kind == 'pallas':
                 x = mbconv_fused(x, payload[1], args)
-            elif kind == 'tiled':
-                x = mbconv_tiled(x, payload[1], args)
             else:
                 x = MBConvBlock(args, dtype=self.dtype).apply(
                     payload[1], x, train=False)
@@ -158,12 +150,13 @@ def make_fused_predictor(model: EfficientDet, variables: Dict,
                                train=False)
         regression, align_reg = regressor.apply(reg_vars, features,
                                                 train=False)
-        classification, align_cls = classifier.apply(cls_vars, features,
-                                                     train=False)
+        classification, cls_logits, align_cls = classifier.apply(
+            cls_vars, features, train=False)
         align = jnp.concatenate([align_reg, align_cls], axis=-1)
         return DetectorOutput(
             classification=classification.astype(jnp.float32),
             regression=regression.astype(jnp.float32),
-            features=tuple(features), align_features=align)
+            features=tuple(features), align_features=align,
+            logits=cls_logits.astype(jnp.float32))
 
     return forward

@@ -84,7 +84,13 @@ class Regressor(nn.Module):
 
 class Classifier(nn.Module):
     """Class head: outputs (B, total_anchors, num_classes) sigmoid scores
-    (reference src/YetAnotherEfficientDet.py:490-532)."""
+    (reference src/YetAnotherEfficientDet.py:490-532).
+
+    Also returns the pre-sigmoid logits: the focal loss consumes them
+    directly (log(sigmoid(x)) == -softplus(-x)), halving the
+    transcendental count of the training step's hottest elementwise chain
+    while the sigmoid output keeps API parity with the reference (and is
+    dead-code-eliminated by XLA whenever only the logits are used)."""
     num_anchors: int
     num_classes: int
     num_layers: int
@@ -97,4 +103,4 @@ class Classifier(nn.Module):
                              dtype=self.dtype, name='tower')(inputs, train)
         flat = [o.reshape(o.shape[0], -1, self.num_classes) for o in outs]
         scores = jnp.concatenate(flat, axis=1)
-        return nn.sigmoid(scores), align
+        return nn.sigmoid(scores), scores, align

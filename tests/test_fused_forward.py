@@ -1,30 +1,32 @@
 """FusedBackbone wiring: plan selection/overrides + numerical parity.
 
-The per-block kernel choice (XLA / whole-block pallas / row-tiled pallas)
-is a pure dispatch layer over identical math; these tests run the pallas
-kernels in interpret mode and compare against the plain flax backbone.
+The per-block kernel choice (XLA / whole-block pallas) is a pure dispatch
+layer over identical math; these tests run the pallas kernel in interpret
+mode and compare against the plain flax backbone. (The row-tiled early-block
+kernel and the candidate-pack kernel were retired in round 3 after losing
+their A/Bs to XLA — BENCH_NOTES.md; the whole-block MBConv kernel remains
+as the numerically-tested kernel-engineering example.)
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mm_distillnet_tpu.models import fused_forward
 from mm_distillnet_tpu.models.efficientnet import EfficientNetFeatures
 from mm_distillnet_tpu.models.fused_forward import FusedBackbone, _parse_plan
-from mm_distillnet_tpu.ops import pallas_mbconv, pallas_mbconv_tiled
+from mm_distillnet_tpu.ops import pallas_mbconv
 
 
 def test_parse_plan():
     assert _parse_plan('', 23) == {}
-    spec = _parse_plan('tiled:0-2,pallas:5,flax:6-7', 23)
-    assert spec == {0: 'tiled', 1: 'tiled', 2: 'tiled', 5: 'pallas',
-                    6: 'flax', 7: 'flax'}
-    assert _parse_plan('tiled:20-40', 23) == {i: 'tiled' for i in (20, 21, 22)}
+    spec = _parse_plan('pallas:5,flax:6-7', 23)
+    assert spec == {5: 'pallas', 6: 'flax', 7: 'flax'}
+    assert _parse_plan('pallas:20-40', 23) == {i: 'pallas'
+                                               for i in (20, 21, 22)}
     with pytest.raises(ValueError):
         _parse_plan('mystery:0-1', 23)
+    with pytest.raises(ValueError):
+        _parse_plan('tiled:0-1', 23)  # retired kind must fail loudly
 
 
 @pytest.fixture
@@ -36,8 +38,7 @@ def _interpret(monkeypatch):
         kwargs['interpret'] = True
         return orig(*args, **kwargs)
 
-    for mod in (pallas_mbconv, pallas_mbconv_tiled):
-        monkeypatch.setattr(mod.pl, 'pallas_call', forced)
+    monkeypatch.setattr(pallas_mbconv.pl, 'pallas_call', forced)
 
 
 def test_fused_backbone_mixed_plan_matches_flax(_interpret):
@@ -48,13 +49,12 @@ def test_fused_backbone_mixed_plan_matches_flax(_interpret):
     want = bb.apply(variables, x, train=False)
 
     wrapped = {'params': {'backbone_net': variables['params']},
-               'batch_stats': {'batch_stats': {}}}
-    wrapped['batch_stats'] = {'backbone_net': variables['batch_stats']}
+               'batch_stats': {'backbone_net': variables['batch_stats']}}
     fused = FusedBackbone(wrapped, compound_coef=0, image_size=size,
                           dtype=jnp.float32,
-                          plan_spec='tiled:1-2,flax:0,flax:3-15')
+                          plan_spec='pallas:1-2,flax:0,flax:3-15')
     kinds = [k for k, _ in fused.plan]
-    assert kinds[1] == 'tiled' and kinds[2] == 'tiled'
+    assert kinds[1] == 'pallas' and kinds[2] == 'pallas'
     got = fused(x)
     assert len(got) == len(want)
     for g, w in zip(got, want):

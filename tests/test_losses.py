@@ -177,6 +177,47 @@ def test_focal_loss_matches_numpy_oracle():
     np.testing.assert_allclose(float(got_cls), want_cls, rtol=2e-4)
 
 
+def test_focal_loss_logit_path_matches_probability_path():
+    """The logit-space focal loss (softplus identities, losses/focal.py
+    _cls_terms) must match the probability-space path — including beyond
+    the clamp band, where both saturate to the same clamped values."""
+    anchors_np = anchor_table(128)
+    n = anchors_np.shape[0]
+    rng = np.random.default_rng(11)
+    # logits spanning well past the clamp band (|x| > 9.21)
+    logits = rng.normal(scale=6.0, size=(3, n, 5)).astype(np.float32)
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    reg = rng.normal(scale=0.2, size=(3, n, 4)).astype(np.float32)
+    ann = -np.ones((3, 6, 5), np.float32)
+    ann[0, 0] = [10, 10, 60, 70, 2]
+    ann[1, 0] = [40, 50, 100, 120, 4]   # image 2 empty: negatives-only path
+    anchors = jnp.asarray(anchors_np)
+    want_reg, want_cls = focal_loss(jnp.asarray(probs), jnp.asarray(reg),
+                                    jnp.asarray(ann), anchors)
+    got_reg, got_cls = focal_loss(jnp.zeros_like(jnp.asarray(probs)),
+                                  jnp.asarray(reg), jnp.asarray(ann),
+                                  anchors, logits=jnp.asarray(logits))
+    np.testing.assert_allclose(float(got_reg), float(want_reg), rtol=1e-5)
+    np.testing.assert_allclose(float(got_cls), float(want_cls), rtol=1e-4)
+
+
+def test_focal_loss_logit_path_matches_numpy_oracle():
+    anchors_np = anchor_table(128)
+    n = anchors_np.shape[0]
+    rng = np.random.default_rng(13)
+    logits = rng.normal(scale=3.0, size=(2, n, 4)).astype(np.float32)
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    reg = rng.normal(scale=0.2, size=(2, n, 4)).astype(np.float32)
+    ann = -np.ones((2, 6, 5), np.float32)
+    ann[0, 0] = [10, 10, 60, 70, 2]
+    want_reg, want_cls = _np_focal_oracle(probs, reg, ann, anchors_np)
+    got_reg, got_cls = focal_loss(jnp.asarray(probs), jnp.asarray(reg),
+                                  jnp.asarray(ann), jnp.asarray(anchors_np),
+                                  logits=jnp.asarray(logits))
+    np.testing.assert_allclose(float(got_reg), want_reg, rtol=2e-4)
+    np.testing.assert_allclose(float(got_cls), want_cls, rtol=2e-4)
+
+
 def test_focal_loss_legacy_variant():
     from mm_distillnet_tpu.losses.focal_legacy import focal_loss_legacy
     anchors = anchor_table(128)
