@@ -53,7 +53,7 @@ _CLASS_BITS = 5  # up to 32 classes packed below the quantized score
 
 @functools.partial(jax.jit, static_argnames=(
     'image_size', 'conf_threshold', 'nms_threshold', 'num_candidates',
-    'max_detections', 'fast', 'pallas'))
+    'max_detections', 'fast', 'approx'))
 def postprocess_detections(classification: jnp.ndarray,
                            regression: jnp.ndarray,
                            anchors: jnp.ndarray,
@@ -65,7 +65,7 @@ def postprocess_detections(classification: jnp.ndarray,
                            num_candidates: int = 512,
                            max_detections: int = 100,
                            fast: bool = True,
-                           pallas: bool = None) -> Detections:
+                           approx: bool = False) -> Detections:
     """classification (B, N, C) sigmoid scores; regression (B, N, 4);
     anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT.
 
@@ -82,37 +82,41 @@ def postprocess_detections(classification: jnp.ndarray,
     regression = regression.astype(jnp.float32)
     csize = float(image_size)
     n_cls = classification.shape[-1]
-    if pallas is None:
-        # The pallas pack kernel is numerically identical but measured
-        # SLOWER end-to-end on v5e (custom-call blocks XLA fusion with the
-        # producing heads; BENCH_NOTES.md round 2) — opt-in only.
-        pallas = False
     if fast and n_cls <= (1 << _CLASS_BITS):
         # ---- packed int path ----
-        if pallas:
-            # one fused pass over (B, N, C): quantize + pack + winner
-            # validity (ops/pallas_postprocess.py)
-            from .pallas_postprocess import packed_candidate_scores
-            masked = packed_candidate_scores(classification, class_valid,
-                                             conf_threshold)
+        # Branchless winner-validity: the winning class is the argmax over
+        # ALL classes; the anchor is dropped — never reassigned — when
+        # that winner is below conf_threshold or class-invalid (reference
+        # EfficientDet_post_processing, utils.py:185-204). Comparing
+        # max-over-all with max-over-surviving reproduces that without
+        # the (B, N) `class_valid[classes]` gather, which XLA lowers
+        # to a ~25 ms elementwise gather at batch 32 (BENCH_NOTES.md).
+        # (A Pallas pack kernel for this chain tied XLA standalone but
+        # lost end-to-end — the custom call blocks fusion with the
+        # producing heads — and was retired; BENCH_NOTES.md round 2.)
+        q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
+        cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
+        packed = (q << _CLASS_BITS) | cls_ids        # (B, N, C)
+        overall = jnp.max(packed, axis=-1)           # (B, N)
+        ok = (classification > conf_threshold) & (class_valid != 0)
+        best_ok = jnp.max(jnp.where(ok, packed, -1), axis=-1)
+        masked = jnp.where(best_ok == overall, best_ok, -1)
+        if approx:
+            # approx=True routes candidate selection through the TPU's
+            # PartialReduce top-k (jax.lax.approx_max_k, recall_target
+            # 0.99). It operates on floats; non-negative int32 bitcast to
+            # float32 is order-preserving, so clamp the -1 "dropped"
+            # marker to 0 first (any surviving candidate packs to > 0:
+            # quantized score in the high bits with conf_threshold > 0).
+            shifted = jnp.maximum(masked, 0)
+            as_f32 = jax.lax.bitcast_convert_type(shifted, jnp.float32)
+            top_f, top_idx = jax.lax.approx_max_k(
+                as_f32, num_candidates, recall_target=0.99)
+            top_packed = jax.lax.bitcast_convert_type(top_f, jnp.int32)
+            cand_valid = top_packed > 0
         else:
-            # Branchless winner-validity (same trick as the pallas kernel):
-            # the winning class is the argmax over ALL classes; the anchor
-            # is dropped — never reassigned — when that winner is below
-            # conf_threshold or class-invalid (reference
-            # EfficientDet_post_processing, utils.py:185-204). Comparing
-            # max-over-all with max-over-surviving reproduces that without
-            # the (B, N) `class_valid[classes]` gather, which XLA lowers
-            # to a ~25 ms elementwise gather at batch 32 (BENCH_NOTES.md).
-            q = (classification * float(1 << _SCORE_BITS)).astype(jnp.int32)
-            cls_ids = jnp.arange(n_cls, dtype=jnp.int32)
-            packed = (q << _CLASS_BITS) | cls_ids        # (B, N, C)
-            overall = jnp.max(packed, axis=-1)           # (B, N)
-            ok = (classification > conf_threshold) & (class_valid != 0)
-            best_ok = jnp.max(jnp.where(ok, packed, -1), axis=-1)
-            masked = jnp.where(best_ok == overall, best_ok, -1)
-        top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
-        cand_valid = top_packed >= 0
+            top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
+            cand_valid = top_packed >= 0
         top_scores = (top_packed >> _CLASS_BITS).astype(jnp.float32) / \
             float(1 << _SCORE_BITS)
         top_scores = jnp.where(cand_valid, top_scores, NEG_INF)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-block A/B: XLA (flax) vs whole-block Pallas vs row-tiled Pallas.
+"""Per-block A/B: XLA (flax) vs the whole-block Pallas MBConv kernel.
 
 Times every MBConv block of the D2 backbone at its real 768px shapes on
 the current device and prints a winner table — the data behind the
@@ -28,12 +28,10 @@ import jax.numpy as jnp  # noqa: E402
 
 from mm_distillnet_tpu.models.efficientnet import (  # noqa: E402
     MBConvBlock, expand_block_args)
-from mm_distillnet_tpu.models.fused_forward import (  # noqa: E402
-    TILED_BUDGET_BYTES, VMEM_BUDGET_BYTES)
+from mm_distillnet_tpu.models.fused_forward import \
+    VMEM_BUDGET_BYTES  # noqa: E402
 from mm_distillnet_tpu.ops.pallas_mbconv import (  # noqa: E402
     fold_mbconv, mbconv_fused, mbconv_vmem_bytes)
-from mm_distillnet_tpu.ops.pallas_mbconv_tiled import (  # noqa: E402
-    mbconv_tiled, tiled_vmem_bytes)
 from mm_distillnet_tpu.utils.profiling import device_time  # noqa: E402
 
 SIZE = int(os.environ.get('BENCH_SIZE', '768'))
@@ -58,33 +56,29 @@ def main():
         t_flax = device_time(
             lambda v, x: block.apply(v, x, train=False).astype(jnp.float32),
             (variables, x), iters=ITERS)
-        t_pallas = t_tiled = None
+        t_pallas = None
         if mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
             t_pallas = device_time(
                 lambda f, x: mbconv_fused(x, f, args).astype(jnp.float32),
                 (folded, x), iters=ITERS)
-        if tiled_vmem_bytes(args, spatial) <= TILED_BUDGET_BYTES:
-            t_tiled = device_time(
-                lambda f, x: mbconv_tiled(x, f, args).astype(jnp.float32),
-                (folded, x), iters=ITERS)
         ms = lambda t: None if t is None else round(t * 1000, 2)
-        cand = {'flax': t_flax, 'pallas': t_pallas, 'tiled': t_tiled}
+        cand = {'flax': t_flax, 'pallas': t_pallas}
         winner = min((v, k) for k, v in cand.items() if v is not None)[1]
         rows.append({'block': i, 'spatial': spatial, 'k': args.kernel_size,
                      's': args.stride, 'cin': args.input_filters,
                      'cout': args.output_filters, 'e': args.expand_ratio,
                      'flax_ms': ms(t_flax), 'pallas_ms': ms(t_pallas),
-                     'tiled_ms': ms(t_tiled), 'winner': winner})
+                     'winner': winner})
         print(json.dumps(rows[-1]), flush=True)
         spatial //= args.stride
         del x, variables, folded
 
-    print('\n| block | shape | XLA ms | pallas ms | tiled ms | winner |')
-    print('|---|---|---|---|---|---|')
+    print('\n| block | shape | XLA ms | pallas ms | winner |')
+    print('|---|---|---|---|---|')
     for r in rows:
         print(f"| {r['block']} | {r['spatial']}px {r['cin']}->{r['cout']} "
               f"k{r['k']} s{r['s']} e{r['e']} | {r['flax_ms']} | "
-              f"{r['pallas_ms']} | {r['tiled_ms']} | {r['winner']} |")
+              f"{r['pallas_ms']} | {r['winner']} |")
     best = {}
     for r in rows:
         best[r['block']] = r['winner']

@@ -97,6 +97,42 @@ def test_postprocess_pipeline_recovers_planted_box():
     assert lab[0, 5] == 6 and (lab[1:, 5] == -1).all()
 
 
+def test_postprocess_approx_topk_recovers_exact_detections():
+    """approx=True (approx_max_k candidate selection, recall_target 0.99)
+    must recover at least 90% of the exact path's detections on sparse
+    real-ish scores — on sparse inputs (few above-threshold anchors) the
+    partial reduction typically recovers all of them."""
+    size = 128
+    anchors = anchor_table(size)
+    n, c = anchors.shape[0], 20
+    rng = np.random.default_rng(21)
+    cls = rng.uniform(0.0, 0.25, size=(2, n, c)).astype(np.float32)
+    # plant 12 confident detections per image on random anchors
+    for b in range(2):
+        for a in rng.choice(n, 12, replace=False):
+            cls[b, a, 6] = rng.uniform(0.5, 0.99)
+    reg = np.zeros((2, n, 4), np.float32)
+    table = class_validity_table(c, valid_prediction_ids=[6])
+    kwargs = dict(image_size=size, conf_threshold=0.3, nms_threshold=0.5,
+                  num_candidates=64, max_detections=16)
+    exact = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), **kwargs)
+    approx = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), approx=True, **kwargs)
+    for b in range(2):
+        want = {tuple(np.round(r, 3)) for r, v in
+                zip(np.asarray(exact.boxes[b]), np.asarray(exact.valid[b]))
+                if v}
+        got = {tuple(np.round(r, 3)) for r, v in
+               zip(np.asarray(approx.boxes[b]), np.asarray(approx.valid[b]))
+               if v}
+        assert want, 'exact path found nothing — test setup broken'
+        recall = len(want & got) / len(want)
+        assert recall >= 0.9, (recall, b)
+
+
 def test_postprocess_high_class_filtered_out():
     size = 128
     anchors = anchor_table(size)
