@@ -102,6 +102,58 @@ def test_train_step_sharded_over_mesh():
     assert len(leaf.sharding.device_set) in (1, 8)
 
 
+def test_sharded_step_equals_single_device_step():
+    """The DP contract itself (reference DDP all-reduce semantics,
+    train_methods.py:953-961): the SAME batch through the sync-BN step
+    produces the SAME loss and updated params whether it runs on one
+    device or sharded over the 8-device mesh. 'Finite and replicated' is
+    not enough — a silent sharding bug (wrong axis, missed reduction)
+    passes that but fails this.
+
+    SGD, not Adam: params-after-SGD = params - lr * mean(grads) exposes
+    exactly the gradient-averaging contract with fp-rounding-bounded
+    tolerance. (Adam's step-1 update is ~lr * sign(g); a near-zero
+    gradient element whose reduction order differs between shardings can
+    flip sign and legitimately differ by 2*lr.)"""
+    (student, teachers, teacher_vars, _, _, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup(batch=8)
+    from mm_distillnet_tpu.distill.train_step import init_train_state
+    config = default_config(lr='1e-2', optimizer='SGD', momentum='0')
+    tx = build_optimizer(config)
+    state = init_train_state(student, jax.random.PRNGKey(9),
+                             batch['audio'], tx)
+    step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                   class_valid, pred_to_label))
+
+    # single device: everything on device 0
+    dev0 = jax.devices()[0]
+    put0 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, dev0), t)
+    state_1, metrics_1 = step(put0(state), put0(teacher_vars), put0(batch),
+                              jax.random.PRNGKey(3))
+
+    # sharded over the 8-device data mesh
+    mesh = create_mesh()
+    state_8, metrics_8 = step(replicate(mesh, state),
+                              replicate(mesh, teacher_vars),
+                              shard_batch(mesh, batch),
+                              jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(metrics_1['Total_loss']),
+                               float(metrics_8['Total_loss']),
+                               rtol=1e-5, atol=1e-6)
+    flat_1 = jax.tree_util.tree_leaves(state_1.params)
+    flat_8 = jax.tree_util.tree_leaves(state_8.params)
+    for a, b in zip(flat_1, flat_8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # batch stats too (sync-BN: global-batch statistics either way)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.batch_stats),
+                    jax.tree_util.tree_leaves(state_8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize('kd', ['None', 'AttentionLoss'])
 def test_kd_loss_dispatch(kd):
     (student, teachers, teacher_vars, tx, state, batch, anchors,
@@ -159,3 +211,20 @@ def test_per_replica_bn_train_step():
     sync_means = jax.tree_util.tree_leaves(sync_state.batch_stats)
     assert any(not np.allclose(a, b, atol=1e-6)
                for a, b in zip(pr_means, sync_means))
+
+    # Semantics, not just divergence: the stats that persist must be
+    # EXACTLY replica 0's — torch DataParallel aliases the device-0
+    # replica's BN buffers to the original module. Hand-compute them by
+    # forwarding shard 0's sub-batch (batch 8 over 8 devices -> element 0)
+    # with the same params and the same per-shard dropout fold
+    # (train_step.py per_shard: fold_in(fold_in(rng, step), axis_index=0)).
+    rng = jax.random.PRNGKey(3)
+    dropout_rng = jax.random.fold_in(jax.random.fold_in(rng, 0), 0)
+    _, mutated = student.apply(
+        {'params': state.params, 'batch_stats': state.batch_stats},
+        batch['audio'][:1], train=True, mutable=['batch_stats'],
+        rngs={'dropout': dropout_rng})
+    expected = jax.tree_util.tree_leaves(mutated['batch_stats'])
+    for got, want in zip(pr_means, expected):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
