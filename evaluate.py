@@ -54,15 +54,21 @@ def main(argv=None):
 
     make_reproducible_run(config.getint('seed', fallback=-1))
 
+    # Teacher load order/classes mirror reference evaluate.py:104-118:
+    # rgb, audio (the use_audio static teacher joins the eval fusion,
+    # reference evaluate.py:108-110), depth, thermal.
     teacher_models = {}
     teacher_type = config.get('teacher', 'YetAnotherEfficientDet_D2')
     if config.getboolean('use_rgb', fallback=True):
         teacher_models['rgb'] = load_model(teacher_type, config, 'rgb')
+    if config.getboolean('use_audio', fallback=False):
+        teacher_models['audio'] = load_model(teacher_type, config,
+                                             'audio_static')
+    if config.getboolean('use_depth', fallback=False):
+        teacher_models['depth'] = load_model(teacher_type, config, 'depth')
     if config.getboolean('use_thermal', fallback=False):
         teacher_models['thermal'] = load_model(teacher_type, config,
                                                'thermal')
-    if config.getboolean('use_depth', fallback=False):
-        teacher_models['depth'] = load_model(teacher_type, config, 'depth')
 
     student_model = load_model(config.get('student'), config,
                                'audio_student')

@@ -116,6 +116,9 @@ DEFAULTS = {
     'compute_dtype': 'bfloat16',   # activations dtype inside the model
     'mta_parity_mode': 'True',     # reproduce kl_div(softmax, softmax) quirk
     'mesh_shape': '-1',            # -1: all local devices on the data axis
+    'compound_coef': '2',          # EfficientDet coefficient for registry
+                                   # builds (D2 in the reference; small
+                                   # coefs drive synthetic-data proofs)
 }
 
 

@@ -88,6 +88,16 @@ def _is_generator_type(model_type: str) -> bool:
             or model_type == 'YetAnotherEfficientDet_D2_audio')
 
 
+def _compound_coef(config) -> int:
+    """The registry's model strings are all _D2 (reference utils.py:441-558
+    hardcodes compound_coef=2); the TPU build adds an optional
+    `compound_coef` config key so synthetic-data proofs (the convergence
+    harness) can drive the public CLIs with small-coefficient models."""
+    if config is None:
+        return 2
+    return config.getint('compound_coef', fallback=2)
+
+
 def build_model(model_type: str, config, num_classes: int = 20):
     """Instantiate the module for a registry name (no weights)."""
     if 'StereoSoundNet' in model_type:
@@ -101,11 +111,13 @@ def build_model(model_type: str, config, num_classes: int = 20):
                        if config is not None else 'concat') or 'concat'
         return EfficientDetGenerator(
             modalities=tuple(sorted(dims)), num_classes=num_classes,
-            compound_coef=2, integration_mode=integration,
+            compound_coef=_compound_coef(config),
+            integration_mode=integration,
             dtype=_compute_dtype(config))
     features_from = (config.get('features_from', 'efficientnet')
                      if config is not None else 'efficientnet')
-    return EfficientDet(num_classes=num_classes, compound_coef=2,
+    return EfficientDet(num_classes=num_classes,
+                        compound_coef=_compound_coef(config),
                         features_from=features_from,
                         dtype=_compute_dtype(config))
 
@@ -174,7 +186,15 @@ def maybe_load_checkpoint(path: str, variables, strict: bool = False):
     required for teacher loads (a drifted key map would leave teachers
     partially random and silently corrupt distillation)."""
     if path and os.path.exists(path):
-        if path.endswith(('.pth', '.pth.tar', '.pt')):
+        # Dispatch on what the path IS, not its suffix: a directory is an
+        # orbax checkpoint even when named like the reference's .pth files
+        # (the convergence harness saves trained flax teachers under the
+        # registry's canonical names so the public CLIs pick them up).
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            variables = ckptr.restore(os.path.abspath(path), variables)
+        elif path.endswith(('.pth', '.pth.tar', '.pt')):
             from ..convert.torch_weights import load_torch_checkpoint
             variables, report = load_torch_checkpoint(path, variables,
                                                       strict=strict)

@@ -41,6 +41,24 @@ def test_registry_generator_dispatch():
     assert isinstance(m, EfficientDet)
 
 
+def test_audio_static_from_shipped_teacher_string_is_plain():
+    """The CLIs build the use_audio static teacher from config['teacher'] +
+    modality 'audio_static' (reference train.py:127-129,
+    evaluate.py:108-110). With the shipped teacher string
+    ('YetAnotherEfficientDet_D2') that resolves to a PLAIN 8-channel D2 —
+    the Generator class is reached only via the '_audio' registry name."""
+    from mm_distillnet_tpu.models.registry import load_model
+    config = default_config(use_rgb=True, use_thermal=True, use_depth=True,
+                            use_audio=True, image_size=SIZE,
+                            compute_dtype='float32', compound_coef=0)
+    module, variables = load_model('YetAnotherEfficientDet_D2', config,
+                                   'audio_static')
+    assert isinstance(module, EfficientDet)
+    assert module.compound_coef == 0  # config compound_coef honored
+    stem = variables['params']['backbone_net']['_conv_stem']['kernel']
+    assert stem.shape[2] == 8  # audio_static input channels
+
+
 def test_plain_checkpoint_fills_generator_slots():
     """A plain-EfficientDet torch state_dict loads into every per-modality
     backbone/neck slot of the generator (reference filter_model_dict

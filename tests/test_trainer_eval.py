@@ -89,6 +89,32 @@ def test_student_modality_key_honored():
                        student_input='rgb')) == 'rgb'
 
 
+def test_evaluate_all_fuses_audio_static_teacher(tiny_setup):
+    """With rgb+thermal+depth enabled the testing point is 'ALL', and a
+    use_audio static teacher joins the fusion (reference
+    evaluate.py:108-110 + utils.py:2043-2049): four teachers fused."""
+    config, train_set, val_set, teachers, student = tiny_setup
+    config['use_depth'] = 'True'
+    config['use_audio'] = 'True'
+    try:
+        def mk(seed, ch):
+            m = EfficientDet(num_classes=20, compound_coef=0,
+                             dtype=jnp.float32)
+            v = jax.jit(m.init)(jax.random.PRNGKey(seed),
+                                jnp.zeros((1, 128, 128, ch)))
+            return m, v
+
+        four = dict(teachers)
+        four['audio'] = mk(3, 8)   # plain 8-channel static teacher
+        four['depth'] = mk(4, 3)
+        ap = evaluate(four, student, val_set, config)
+    finally:
+        config['use_depth'] = 'False'
+        config['use_audio'] = 'False'
+    assert list(ap['modality']) == ['ALL']
+    assert np.isfinite(ap['AP@Ave']).all()
+
+
 def test_eval_batch_size_override(tiny_setup):
     """eval_batch_size decouples inference batch from training batch."""
     config, train_set, val_set, teachers, student = tiny_setup

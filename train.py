@@ -88,18 +88,25 @@ def train_multimodal_detection(config):
     distributed_init_if_needed(config)
     make_reproducible_run(config.getint('seed', fallback=-1))
 
+    # Teacher load order and classes mirror reference train.py:122-134:
+    # rgb, audio, depth, thermal — the audio static teacher is built from
+    # config['teacher'] with the 'audio_static' modality, so the shipped
+    # teacher string ('YetAnotherEfficientDet_D2') yields a PLAIN 8-channel
+    # D2 loading yet-another-efficientdet-d2-audio.pth through the key
+    # remap (the Generator class is reached only via the
+    # 'YetAnotherEfficientDet_D2_audio' registry name, utils.py:506-558).
     teacher_models = {}
     teacher_type = config.get('teacher', 'YetAnotherEfficientDet_D2')
     if config.getboolean('use_rgb', fallback=True):
         teacher_models['rgb'] = load_model(teacher_type, config, 'rgb')
+    if config.getboolean('use_audio', fallback=False):
+        teacher_models['audio'] = load_model(teacher_type, config,
+                                             'audio_static')
+    if config.getboolean('use_depth', fallback=False):
+        teacher_models['depth'] = load_model(teacher_type, config, 'depth')
     if config.getboolean('use_thermal', fallback=False):
         teacher_models['thermal'] = load_model(teacher_type, config,
                                                'thermal')
-    if config.getboolean('use_depth', fallback=False):
-        teacher_models['depth'] = load_model(teacher_type, config, 'depth')
-    if config.getboolean('use_audio', fallback=False):
-        teacher_models['audio'] = load_model(
-            'YetAnotherEfficientDet_D2_audio', config, 'audio_static')
 
     training_set = get_dataset(config, 'train')
     val_set = get_dataset(config, 'val')
@@ -109,11 +116,18 @@ def train_multimodal_detection(config):
     student_model = pretrain(teacher_models, student_model, config,
                              training_set, val_set)
 
-    train(teacher_models, student_model, config, training_set, val_set,
-          method=config.get('train_method'))
+    state = train(teacher_models, student_model, config, training_set,
+                  val_set, method=config.get('train_method'))
 
-    # Reload the best checkpoint and run the final evaluation
-    # (reference train.py:199-213).
+    # The trained weights carry into the final evaluation (the reference
+    # mutates the torch module in place, reference train.py:199-213; we
+    # thread the returned TrainState), then the best checkpoint — when one
+    # was saved — takes precedence, as in the reference.
+    trained_vars = dict(student_model[1])
+    trained_vars['params'] = state.params
+    if state.batch_stats:
+        trained_vars['batch_stats'] = state.batch_stats
+    student_model = (student_model[0], trained_vars)
     rank = config.getint('rank', fallback=0) or 0
     best = load_student_params(config, rank, 'best')
     if best is not None:
