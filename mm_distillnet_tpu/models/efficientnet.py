@@ -148,6 +148,49 @@ class MBConvBlock(nn.Module):
         return x
 
 
+class _SpaceToDepthStem(nn.Module):
+    """The 3x3 stride-2 stem conv re-expressed EXACTLY as a 2x2 stride-1
+    conv over a 2x2 space-to-depth rearrangement of the input.
+
+    Motivation (TPU): the stem sees 1/3/8 input channels — a tiny fraction
+    of the 128-lane registers the conv gets tiled onto; s2d quadruples the
+    contraction depth (4C channels at half resolution) for the same math.
+    Derivation: with TF-SAME (pad (0,1) both dims for even input),
+    y[i,j] = sum_{di,dj<3} w[di,dj] x[2i+di, 2j+dj]; writing 2i+di =
+    2(i+p)+a with p=di//2, a=di%2 maps every tap onto block offset
+    p in {0,1} and within-block offset a in {0,1} — a 2x2 kernel over the
+    (a, b, c) channels, zero where 2p+a > 2. The parameter keeps the
+    reference shape (3, 3, C, O) under the same '_conv_stem' name, so
+    checkpoints load unchanged and the rewrite is a pure runtime choice.
+    """
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, 's2d stem needs even input dims'
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features), jnp.float32)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        w2 = jnp.zeros((2, 2, 2, 2, c, self.features), kernel.dtype)
+        for p in (0, 1):
+            for q in (0, 1):
+                for a in (0, 1):
+                    for bb in (0, 1):
+                        di, dj = 2 * p + a, 2 * q + bb
+                        if di <= 2 and dj <= 2:
+                            w2 = w2.at[p, q, a, bb].set(kernel[di, dj])
+        w2 = w2.reshape(2, 2, 4 * c, self.features)
+        if self.dtype is not None:
+            xs = xs.astype(self.dtype)
+            w2 = w2.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class EfficientNetFeatures(nn.Module):
     """Backbone feature extractor returning the 4-level pyramid
     [P2, P3, P4, P5] (the reference taps the activation before each stride-2
@@ -157,10 +200,13 @@ class EfficientNetFeatures(nn.Module):
     in_channels is carried by the input array (1 thermal / 3 rgb+depth /
     8 audio); flax infers the stem kernel from it
     (reference src/YetAnotherEfficientNet.py:596-604 stem swap).
+    s2d_stem=True runs the stem as the space-to-depth rewrite
+    (_SpaceToDepthStem — same parameters, same values).
     """
     compound_coef: int = 2
     drop_connect_rate: float = 0.2
     dtype: Any = None
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -168,9 +214,14 @@ class EfficientNetFeatures(nn.Module):
         blocks = expand_block_args(self.compound_coef)
 
         stem = round_filters(32, width)
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name='_conv_stem')(x)
+        if self.s2d_stem:
+            x = _SpaceToDepthStem(stem, dtype=self.dtype,
+                                  name='_conv_stem')(x)
+        else:
+            x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name='_conv_stem')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype,
                          param_dtype=jnp.float32, name='_bn0')(x)
