@@ -49,7 +49,8 @@ def main():
     iters = int(os.environ.get('BENCH_ITERS', '15'))
 
     model = EfficientDet(num_classes=20, compound_coef=2,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16,
+                         s2d_stem=bool(os.environ.get('BENCH_S2D')))
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (batch, size, size, 8), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
@@ -58,7 +59,8 @@ def main():
 
     # BENCH_FUSED=1 benches the fused-backbone path (Pallas MBConv kernels
     # per the FusedBackbone plan; BENCH_PLAN overrides it, e.g.
-    # 'tiled:0-5,flax:6-22' — see scripts/bench_mbconv_blocks.py).
+    # 'pallas:6-22' — see scripts/bench_mbconv_blocks.py).
+    approx = bool(os.environ.get('BENCH_APPROX'))  # approx_max_k A/B
     if os.environ.get('BENCH_FUSED'):
         from mm_distillnet_tpu.models.fused_forward import \
             make_fused_predictor
@@ -70,7 +72,8 @@ def main():
             out = fwd(x)
             dets = postprocess_detections(
                 out.classification, out.regression, anchors, class_valid,
-                image_size=size, num_candidates=256, max_detections=32)
+                image_size=size, num_candidates=256, max_detections=32,
+                approx=approx)
             return dets.boxes, dets.scores, dets.classes, dets.valid
     else:
         @jax.jit
@@ -78,7 +81,8 @@ def main():
             out = model.apply(variables, x, train=False)
             dets = postprocess_detections(
                 out.classification, out.regression, anchors, class_valid,
-                image_size=size, num_candidates=256, max_detections=32)
+                image_size=size, num_candidates=256, max_detections=32,
+                approx=approx)
             return dets.boxes, dets.scores, dets.classes, dets.valid
 
     # Warm-up / compile, then timed loop. Sync discipline: the axon relay
@@ -96,6 +100,26 @@ def main():
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
+    # MFU accounting: XLA's own cost model for the compiled program gives
+    # FLOPs/batch; achieved TFLOP/s = flops * fps / batch. The efficiency
+    # denominator is the measured 53 TFLOP/s bf16 matmul point on this chip
+    # (BENCH_NOTES.md "Where the time goes") — depthwise convs and
+    # elementwise chains can't reach it, so this is a utilization bound,
+    # not a target; it keeps every throughput claim carrying an "of what
+    # ceiling" answer.
+    flops_per_frame = achieved_tflops = pct_matmul_point = None
+    try:
+        ca = jax.jit(predict).lower(variables, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get('flops', 0.0))
+        if flops > 0:
+            flops_per_frame = flops / batch
+            achieved_tflops = flops_per_frame * fps / 1e12
+            pct_matmul_point = 100.0 * achieved_tflops / 53.0
+    except Exception:
+        pass
+
     # Baseline: the reference publishes no throughput number (BASELINE.md)
     # and this container has no CUDA, so a measured same-hardware GPU
     # comparison is impossible. We deliberately use a GENEROUS estimate for
@@ -108,7 +132,7 @@ def main():
     # magnitude CPU ratio says nothing useful. Override with BENCH_BASELINE.
     baseline = float(os.environ.get('BENCH_BASELINE', '40') or 0)
     vs = fps / baseline if baseline > 0 else 0.0
-    print(json.dumps({
+    record = {
         'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
         'value': round(fps, 2),
         'unit': 'frames/sec/chip',
@@ -117,7 +141,12 @@ def main():
         'baseline_note': 'estimated reference throughput on a V100 (upper '
                          'bound of public EfficientDet-D2@768 numbers); the '
                          'reference publishes none (see BENCH_NOTES.md)',
-    }))
+    }
+    if achieved_tflops is not None:
+        record['gflops_per_frame'] = round(flops_per_frame / 1e9, 2)
+        record['achieved_tflops'] = round(achieved_tflops, 2)
+        record['pct_of_53tflops_matmul_point'] = round(pct_matmul_point, 1)
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

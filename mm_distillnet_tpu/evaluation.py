@@ -61,6 +61,9 @@ def make_predict_fn(model, image_size: int, config, variables=None):
     nms_thr = config.getfloat('nms_threshold', fallback=0.5)
     cands = config.getint('nms_candidates', fallback=512)
     max_det = config.getint('max_detections', fallback=100)
+    # approx_topk=True routes candidate selection through the TPU-native
+    # approx_max_k (recall_target 0.99) instead of exact top_k.
+    approx = config.getboolean('approx_topk', fallback=False) or False
     fused = None
     if variables is not None and \
             config.getboolean('fused_inference', fallback=False):
@@ -75,7 +78,7 @@ def make_predict_fn(model, image_size: int, config, variables=None):
             out.classification, out.regression, anchors, class_valid,
             image_size=image_size, conf_threshold=conf,
             nms_threshold=nms_thr, num_candidates=cands,
-            max_detections=max_det)
+            max_detections=max_det, approx=approx)
         labels = detections_to_labels(dets, pred_to_label, image_size,
                                       include_scores=True)
         return labels, out.features
@@ -201,7 +204,13 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
             if save_ann:
                 _save_fused_annotations(config, batch['id'], fused)
 
-        pending = None
+        # Software pipeline depth: how many batches' device work stays in
+        # flight before the host reads results back. Depth 2 keeps the
+        # device busy across TWO ~27 ms axon host-read round-trips
+        # (VERDICT r2 perf backlog; depth 1 was the round-2 pipeline).
+        from collections import deque
+        depth = max(1, config.getint('eval_pipeline_depth', fallback=2))
+        pending = deque()
         for bi, batch in enumerate(loader):
             audio = jnp.asarray(batch[student_key])
             pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)
@@ -216,13 +225,13 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
                               if m in batch}
                 fused = fused_fn(t_vars, dev_inputs, class_valid,
                                  pred_to_label)
-            if pending is not None:
-                _drain(pending)
-            pending = (batch, audio.shape[0], pred_rows, fused)
+            pending.append((batch, audio.shape[0], pred_rows, fused))
+            while len(pending) > depth:
+                _drain(pending.popleft())
             if fast_run and bi >= 1:
                 break
-        if pending is not None:
-            _drain(pending)
+        while pending:
+            _drain(pending.popleft())
         elapsed = time.time() - start_time
 
         total_params = count_params(s_vars)
