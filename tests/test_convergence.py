@@ -94,3 +94,31 @@ def test_two_phase_convergence(tmp_path):
     assert result['student_ap50_after'] > result['student_ap50_before'] + 5, \
         result
     assert result['student_ap50_after'] > 10, result
+
+
+@pytest.mark.skipif(not os.environ.get('MMDT_CONVERGENCE_SHIPPED'),
+                    reason='slow shipped-recipe convergence proof '
+                           '(3 teachers, traditional_nms_augmented, bf16, '
+                           'public train.py CLI); set '
+                           'MMDT_CONVERGENCE_SHIPPED=1 (see BENCH_NOTES.md '
+                           'for the recorded full-strength TPU run)')
+def test_shipped_recipe_convergence(tmp_path):
+    """VERDICT round 2 item 1: the SHIPPED recipe learns — three
+    supervised-overfit teachers fused by cross-teacher NMS,
+    train_method=traditional_nms_augmented at bf16, driven through the
+    public train.py CLI. Bar: student AP@0.5 vs GT >= 35 (the band of the
+    1-teacher proof, which measured 40.5)."""
+    from scripts import convergence_shipped as C
+
+    args = C.parse_args([
+        '--epochs-a', os.environ.get('MMDT_CONV_EPOCHS_A', '600'),
+        '--epochs-b', os.environ.get('MMDT_CONV_EPOCHS_B', '1000'),
+        '--exp-name', str(tmp_path / 'convergence-shipped'),
+        '--no-kdlist'])
+    result = C.stage_all(args)
+    print(json.dumps(result))
+    for modality, ap in result['teacher_ap50'].items():
+        assert ap > 30, (modality, result)
+    assert result['student_ap50_after'] >= 35, result
+    assert result['student_ap50_after'] > \
+        result['student_ap50_before'] + 5, result
