@@ -191,7 +191,7 @@ def compute_distill_losses(student_model, params, batch_stats,
         # focal loss once per teacher then averages — same value, so one
         # evaluation suffices (and it covers the zero-teacher case).
         r, c = focal_loss(out.classification, out.regression,
-                          batch['label'], anchors, logits=out.logits)
+                          batch['label'], anchors)
         reg_losses, cls_losses = [r], [c]
     elif method == 'traditional':
         # per-teacher labels, no cross-teacher fusion (ModelWithLoss,
@@ -200,7 +200,7 @@ def compute_distill_losses(student_model, params, batch_stats,
         for lab in per_teacher:
             ann = jnp.concatenate([lab[..., :4], lab[..., 5:6]], axis=-1)
             r, c = focal_loss(out.classification, out.regression, ann,
-                              anchors, logits=out.logits)
+                              anchors)
             reg_losses.append(r)
             cls_losses.append(c)
     else:
@@ -208,8 +208,9 @@ def compute_distill_losses(student_model, params, batch_stats,
         if augment:
             fuse_inputs = _augment_label_union(per_teacher)
         fused = fuse_teacher_labels(fuse_inputs, cfg.pl)
-        r, c = focal_loss(out.classification, out.regression, fused, anchors,
-                          logits=out.logits)
+        # Probability path on purpose: the logit-space variant measured
+        # slower in the composed step (scripts/ab_focal_step.py round 3).
+        r, c = focal_loss(out.classification, out.regression, fused, anchors)
         reg_losses, cls_losses = [r], [c]
 
     # ---- KD losses ----

@@ -20,9 +20,9 @@ Python loop and ragged numpy annotation padding with a dense
   src/loss/YetAnotherFocalLoss.py:63-66,178-186).
 
 When the caller supplies pre-sigmoid logits (DetectorOutput.logits) the
-classification term is computed in logit space via softplus identities —
-identical values inside the clamp band at roughly half the transcendental
-cost (see _cls_terms).
+classification term is computed in logit space via the softplus identity
+-log(sigmoid(-y)) = softplus(y) — identical values inside the clamp band
+with a single dense transcendental chain (see _per_image_loss).
 """
 from __future__ import annotations
 
@@ -42,6 +42,9 @@ CLS_CLAMP = 1e-4
 # clamp(sigmoid(x), c, 1-c) == sigmoid(clamp(x, -X, X)) with X = logit(1-c).
 LOGIT_CLAMP = float(np.log((1.0 - CLS_CLAMP) / CLS_CLAMP))
 SMOOTH_L1_BETA = 1.0 / 9.0
+# Precision of the one-hot GT-assignment contraction (module-level so perf
+# A/B harnesses can toggle it; see scripts/ab_focal_step.py).
+ASSIGN_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _pow_gamma(x: jnp.ndarray) -> jnp.ndarray:
@@ -60,34 +63,6 @@ def _smooth_l1(diff: jnp.ndarray) -> jnp.ndarray:
                      ad - 0.5 / 9.0)
 
 
-def _cls_terms(cls_t: jnp.ndarray, from_logits: bool):
-    """Elementwise quantities the focal BCE needs: (p, 1-p, -log p,
-    -log(1-p)) with p = clamp(sigmoid_score, CLS_CLAMP, 1-CLS_CLAMP).
-
-    from_logits=True computes them from pre-sigmoid scores via the
-    softplus identities log(sigmoid(x)) = -softplus(-x) and
-    log(1-sigmoid(x)) = -softplus(x): one exp + one log1p per element
-    instead of the sigmoid + two logs the probability path costs — the
-    train step's dominant transcendental chain (B x 110,484 x C elements;
-    reference hot spot src/loss/YetAnotherFocalLoss.py:100-140, measured
-    ~27 ms/step at batch 8 in BENCH_NOTES.md round 2). Identical math
-    inside the clamp band; 1-p is formed rationally (t/(1+t)), never by
-    subtraction, so small probabilities keep full relative precision."""
-    if from_logits:
-        x = jnp.clip(cls_t, -LOGIT_CLAMP, LOGIT_CLAMP)
-        t = jnp.exp(-jnp.abs(x))            # in (0, 1], always stable
-        log1p_t = jnp.log1p(t)              # softplus(-|x|)
-        s = 1.0 / (1.0 + t)                 # sigmoid(|x|)
-        nonneg = x >= 0
-        p = jnp.where(nonneg, s, t * s)
-        one_m_p = jnp.where(nonneg, t * s, s)
-        neg_log_p = jnp.where(nonneg, log1p_t, log1p_t - x)   # softplus(-x)
-        neg_log_1mp = neg_log_p + x                            # softplus(x)
-        return p, one_m_p, neg_log_p, neg_log_1mp
-    p = jnp.clip(cls_t, CLS_CLAMP, 1.0 - CLS_CLAMP)
-    return p, 1.0 - p, -jnp.log(p), -jnp.log(1.0 - p)
-
-
 def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
                     annotations: jnp.ndarray, anchors: jnp.ndarray,
                     from_logits: bool
@@ -104,16 +79,32 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     # (N, a multiple of 128) is lane-padding-free; measured neutral vs
     # (N, C) on v5e — XLA fuses the elementwise chain either way — and
     # kept for layout hygiene.
-    p, one_m_p, neg_log_p, neg_log_1mp = _cls_terms(
-        classification.T, from_logits)                      # each (C, N)
-    # focal BCE per element, by target value (alpha=0.25, gamma=2):
-    #   target==1:  alpha     * (1-p)^gamma * -log(p)
-    #   target==0:  (1-alpha) *   p^gamma   * -log(1-p)
-    pos_term = ALPHA * _pow_gamma(one_m_p) * neg_log_p
-    neg_term = (1.0 - ALPHA) * _pow_gamma(p) * neg_log_1mp
+    #
+    # Formulation chosen by composite-step A/B, not op-counting
+    # (scripts/ab_focal_step.py; BENCH_NOTES.md round 3): the probability
+    # path below blends -log(p) / -log(1-p) ARITHMETICALLY with the 0/1
+    # float targets (the round-2 form, 60.4 ms full step at batch 8).
+    # Mathematically equivalent rewrites that select before the
+    # transcendental (one dense log; or softplus/sigmoid in logit space)
+    # measured 66-74 ms in the SAME step — XLA's schedule of the composed
+    # graph, not the transcendental count, decides. The logit path stays
+    # available (select-first softplus form, 65.7 ms) for callers without
+    # sigmoid outputs; the shipped train step passes probabilities.
+    if from_logits:
+        x = jnp.clip(classification.T, -LOGIT_CLAMP, LOGIT_CLAMP)  # (C, N)
+    else:
+        p = jnp.clip(classification.T, CLS_CLAMP, 1.0 - CLS_CLAMP)
 
-    # ---- negatives-only branch (image with no annotations) ----
-    neg_only_cls = jnp.sum(neg_term)
+    # ---- negatives-only branch (image with no annotations): all-targets-
+    # zero term over every anchor/class, (1-a) * p^g * -log(1-p).
+    # In logit space -log(1-p) = softplus(x) and p = sigmoid(x).
+    if from_logits:
+        neg_only_cls = jnp.sum((1.0 - ALPHA) *
+                               _pow_gamma(jax.nn.sigmoid(x)) *
+                               jax.nn.softplus(x))
+    else:
+        neg_only_cls = jnp.sum((1.0 - ALPHA) * _pow_gamma(p) *
+                               (-jnp.log(1.0 - p)))
 
     # ---- full branch ----
     iou = iou_anchors_vs_gt(anchors, annotations[:, :4])    # (N, G)
@@ -134,7 +125,7 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     assign_oh = jax.nn.one_hot(iou_argmax, annotations.shape[0],
                                dtype=jnp.float32)            # (N, G)
     assigned = jnp.matmul(assign_oh, annotations,
-                          precision=jax.lax.Precision.HIGHEST)  # (N, 5)
+                          precision=ASSIGN_PRECISION)          # (N, 5)
     positive = iou_max >= 0.5
     negative = iou_max < 0.4
     num_pos = jnp.sum(positive)
@@ -146,11 +137,23 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     class_iota = jnp.arange(num_classes, dtype=jnp.int32)[:, None]  # (C, 1)
     target_is_one = positive[None, :] & (labels[None, :] == class_iota)
     care = (positive | negative)[None, :]
+    alpha_factor = jnp.where(target_is_one, ALPHA, 1.0 - ALPHA)
 
-    cls_each = jnp.where(target_is_one, pos_term, neg_term)    # (C, N)
+    if from_logits:
+        # q = where(t, sigmoid(x), sigmoid(-x)) = sigmoid(-y), y=where(t,-x,x)
+        # -log(q) = softplus(y);  1-q = sigmoid(y)
+        y = jnp.where(target_is_one, -x, x)                    # (C, N)
+        cls_each = alpha_factor * _pow_gamma(jax.nn.sigmoid(y)) * \
+            jax.nn.softplus(y)
+    else:
+        targets = jnp.where(target_is_one, 1.0, 0.0)           # (C, N)
+        focal_weight = jnp.where(target_is_one, 1.0 - p, p)
+        bce = -(targets * jnp.log(p) +
+                (1.0 - targets) * jnp.log(1.0 - p))
+        cls_each = alpha_factor * _pow_gamma(focal_weight) * bce
     cls_loss_full = jnp.sum(jnp.where(care, cls_each, 0.0))
     cls_loss_full = cls_loss_full / \
-        jnp.clip(num_pos.astype(p.dtype), min=1.0)
+        jnp.clip(num_pos.astype(jnp.float32), min=1.0)
 
     # regression targets for positive anchors
     anchor_h = anchors[:, 2] - anchors[:, 0]
@@ -171,7 +174,7 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
 
     reg_loss_each = jnp.sum(_smooth_l1(reg_targets - regression), axis=1) / 4.0
     reg_loss_full = jnp.sum(jnp.where(positive, reg_loss_each, 0.0)) / \
-        jnp.clip(num_pos.astype(p.dtype), min=1.0)
+        jnp.clip(num_pos.astype(jnp.float32), min=1.0)
     reg_loss_full = jnp.where(num_pos > 0, reg_loss_full, 0.0)
 
     has_gt = n_gt > 0
@@ -189,10 +192,10 @@ def focal_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     classification (B, N, C) sigmoid scores, regression (B, N, 4),
     annotations (B, MAX_GT, 5) padded with -1 labels, anchors (N, 4).
     When `logits` (the pre-sigmoid scores, DetectorOutput.logits) is
-    given, the classification term is computed from them via softplus
-    identities — identical values inside the clamp band at roughly half
-    the transcendental cost (see _cls_terms) — and `classification` is
-    ignored (XLA dead-code-eliminates the producing sigmoid).
+    given, the classification term is computed from them via the softplus
+    identity — identical values inside the clamp band, one dense
+    transcendental chain — and `classification` is ignored (XLA
+    dead-code-eliminates the producing sigmoid).
     Returns (regression_loss, classification_loss) scalars (batch means;
     exactly 0 when no image has annotations).
     """

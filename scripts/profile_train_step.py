@@ -110,7 +110,7 @@ def profile(batch_size):
                 audio, train=True, mutable=['batch_stats'],
                 rngs={'dropout': jax.random.PRNGKey(0)})
             r, c = focal_loss(out.classification, out.regression, fused,
-                              anchors, logits=out.logits)
+                              anchors)
             kd = sum(mta_loss(list(out.features), ft, cfg.T, cfg.p,
                               cfg.mta_parity)[0] for ft in teacher_feats)
             return r + c + cfg.w_kd * kd, mutated['batch_stats']
