@@ -60,7 +60,10 @@ def main():
     # BENCH_FUSED=1 benches the fused-backbone path (Pallas MBConv kernels
     # per the FusedBackbone plan; BENCH_PLAN overrides it, e.g.
     # 'pallas:6-22' — see scripts/bench_mbconv_blocks.py).
-    approx = bool(os.environ.get('BENCH_APPROX'))  # approx_max_k A/B
+    # approx_max_k candidate selection (the TPU PartialReduce top-k,
+    # recall_target 0.99) — the measured +10.5% round-3 win; BENCH_APPROX=0
+    # forces the exact top_k for A/B. Recorded in the JSON line.
+    approx = os.environ.get('BENCH_APPROX', '1') not in ('0', '', 'false')
     if os.environ.get('BENCH_FUSED'):
         from mm_distillnet_tpu.models.fused_forward import \
             make_fused_predictor
@@ -141,6 +144,7 @@ def main():
         'baseline_note': 'estimated reference throughput on a V100 (upper '
                          'bound of public EfficientDet-D2@768 numbers); the '
                          'reference publishes none (see BENCH_NOTES.md)',
+        'approx_topk': approx,
     }
     if achieved_tflops is not None:
         record['gflops_per_frame'] = round(flops_per_frame / 1e9, 2)
