@@ -91,8 +91,21 @@ def stage_teachers(args):
     from mm_distillnet_tpu.train.trainer import train
 
     os.makedirs(os.path.join(args.exp_name, 'trained_models'), exist_ok=True)
+    # Resumable across relay hangs: a modality whose checkpoint exists AND
+    # whose AP is already recorded in teachers.json is skipped on rerun.
+    teachers_json = os.path.join(args.exp_name, 'teachers.json')
     teacher_ap = {}
+    if os.path.exists(teachers_json):
+        with open(teachers_json) as f:
+            teacher_ap = json.load(f)
     for modality, ch in TEACHER_MODALITIES.items():
+        done_path = os.path.join(args.exp_name, 'trained_models',
+                                 CKPT_NAMES[modality])
+        if modality in teacher_ap and os.path.exists(done_path):
+            print(f'[shipped] teacher {modality} already trained '
+                  f'(AP@0.5 = {teacher_ap[modality]}), skipping',
+                  file=sys.stderr)
+            continue
         cfg = _config(args, num_epoches=args.epochs_a, use_labels=True,
                       student_input=modality, kd_loss='None',
                       train_method='traditional',
@@ -121,9 +134,9 @@ def stage_teachers(args):
             'batch_stats': jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x), variables['batch_stats'])})
         ckptr.wait_until_finished()
+        with open(teachers_json, 'w') as f:
+            json.dump(teacher_ap, f)
 
-    with open(os.path.join(args.exp_name, 'teachers.json'), 'w') as f:
-        json.dump(teacher_ap, f)
     print(json.dumps({'teacher_ap50': teacher_ap}))
 
 
