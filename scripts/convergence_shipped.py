@@ -150,6 +150,11 @@ def _train_cli_cmd(args, method: str, exp_suffix: str):
         num_epoches=args.epochs_b,
         train_method=method,
         compute_dtype=args.dtype,
+        # resume is a no-op on a fresh run (restore_checkpoint returns
+        # identity when no checkpoint exists) but lets a relay-killed
+        # student run pick up from the last val-epoch checkpoint
+        # instead of restarting all of epochs_b.
+        resume=True,
         # checkpoints are written on validation epochs; validate a few
         # times so 'checkpoint.0' exists for the eval stage without
         # paying per-epoch eval cost
