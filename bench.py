@@ -36,6 +36,28 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Fail fast instead of hanging when the TPU relay is unreachable:
+    # backend init (the first jax.devices()) blocks in the axon client's
+    # claim-retry loop indefinitely if the relay/lease is down, which
+    # would otherwise hang the whole bench. Probe it on a side thread and
+    # bail with an honest JSON line if it doesn't come up in time.
+    import threading
+    _ready = threading.Event()
+    _dev = []
+    def _probe():
+        _dev.append(jax.devices()[0].platform)
+        _ready.set()
+    threading.Thread(target=_probe, daemon=True).start()
+    _init_timeout = float(os.environ.get('BENCH_INIT_TIMEOUT', '600'))
+    if not _ready.wait(_init_timeout):
+        print(json.dumps({
+            'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
+            'value': 0, 'unit': 'frames/sec/chip', 'vs_baseline': 0,
+            'error': f'device backend init timed out after '
+                     f'{_init_timeout:.0f}s (TPU relay unreachable); '
+                     f'no measurement taken'}))
+        os._exit(3)
+
     from mm_distillnet_tpu.models.efficientdet import EfficientDet
     from mm_distillnet_tpu.ops.anchors import anchor_table
     from mm_distillnet_tpu.ops.postprocess import (class_validity_table,
