@@ -92,6 +92,11 @@ def main():
                         'peak bf16 is 197')
     p.add_argument('--hbm-gbps', type=float, default=700.0,
                    help='usable HBM bandwidth (nominal 819)')
+    p.add_argument('--grad', action='store_true',
+                   help='bound the student fwd+bwd instead of the eval '
+                        'forward (transposed/backward convs appear as '
+                        'conv_general_dilated in the grad jaxpr and are '
+                        'walked identically)')
     args = p.parse_args()
 
     from mm_distillnet_tpu.models.efficientdet import EfficientDet
@@ -101,8 +106,26 @@ def main():
     variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), variables)
-    jaxpr = jax.make_jaxpr(
-        lambda v, x: model.apply(v, x, train=False))(variables, x)
+    if args.grad:
+        # conv work of the student fwd+bwd: grad of a trivial scalar of
+        # the outputs w.r.t. params traces every forward conv plus its
+        # two backward convs (w.r.t. input and w.r.t. filter); the loss
+        # itself adds no convs, so this bounds the train step's model
+        # part for ANY loss.
+        params = variables['params']
+        rest = {k: v for k, v in variables.items() if k != 'params'}
+
+        def scalar(p):
+            out = model.apply({'params': p, **rest}, x, train=True,
+                              mutable=['batch_stats'],
+                              rngs={'dropout': jax.random.PRNGKey(0)})[0]
+            return (jnp.sum(out.classification.astype(jnp.float32))
+                    + jnp.sum(out.regression.astype(jnp.float32)))
+
+        jaxpr = jax.make_jaxpr(jax.grad(scalar))(params)
+    else:
+        jaxpr = jax.make_jaxpr(
+            lambda v, x: model.apply(v, x, train=False))(variables, x)
 
     stats = []
     walk(jaxpr.jaxpr, stats)
