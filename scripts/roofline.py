@@ -69,10 +69,10 @@ def walk(jaxpr, stats):
     for eqn in jaxpr.eqns:
         if eqn.primitive.name == 'conv_general_dilated':
             stats.append(conv_stats(eqn))
-        for sub in jax.core.jaxprs_in_params(eqn.params) \
-                if hasattr(jax.core, 'jaxprs_in_params') else []:
-            walk(sub, stats)
-        # flax/jax wrap subcomputations in call-like primitives
+        # call-like primitives (pjit/scan/custom_jvp/...) carry their
+        # subcomputation as a ClosedJaxpr in params — walk each exactly
+        # once (NOT also via jax.core.jaxprs_in_params, which yields the
+        # same jaxprs and would double-count every nested conv)
         for v in eqn.params.values():
             if hasattr(v, 'jaxpr'):
                 walk(v.jaxpr, stats)
