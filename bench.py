@@ -48,14 +48,19 @@ def main():
         _dev.append(jax.devices()[0].platform)
         _ready.set()
     threading.Thread(target=_probe, daemon=True).start()
-    _init_timeout = float(os.environ.get('BENCH_INIT_TIMEOUT', '600'))
+    _init_timeout = float(os.environ.get('BENCH_INIT_TIMEOUT', '1800'))
     if not _ready.wait(_init_timeout):
         print(json.dumps({
             'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
             'value': 0, 'unit': 'frames/sec/chip', 'vs_baseline': 0,
             'error': f'device backend init timed out after '
                      f'{_init_timeout:.0f}s (TPU relay unreachable); '
-                     f'no measurement taken'}))
+                     f'no measurement taken',
+            'last_recorded_measurement_fps': 720.3,
+            'last_recorded_note': 'NOT measured by this run — the most '
+                                  'recent recorded v5e measurement '
+                                  '(BENCH_NOTES.md round-3 table, batch '
+                                  '128, approx_max_k)'}))
         os._exit(3)
 
     from mm_distillnet_tpu.models.efficientdet import EfficientDet
