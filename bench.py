@@ -44,18 +44,25 @@ def main():
     import threading
     _ready = threading.Event()
     _dev = []
+    _probe_err = []
     def _probe():
-        _dev.append(jax.devices()[0].platform)
-        _ready.set()
+        try:
+            _dev.append(jax.devices()[0].platform)
+        except Exception as e:  # init FAILED fast (vs hanging): report it
+            _probe_err.append(f'{type(e).__name__}: {e}')
+        finally:
+            _ready.set()
     threading.Thread(target=_probe, daemon=True).start()
     _init_timeout = float(os.environ.get('BENCH_INIT_TIMEOUT', '1800'))
-    if not _ready.wait(_init_timeout):
+    if not _ready.wait(_init_timeout) or _probe_err:
+        _why = (f'device backend init FAILED: {_probe_err[0]}'
+                if _probe_err else
+                f'device backend init timed out after '
+                f'{_init_timeout:.0f}s (TPU relay unreachable)')
         print(json.dumps({
             'metric': 'audio-student eval throughput (D2 768x768 fwd+NMS)',
             'value': 0, 'unit': 'frames/sec/chip', 'vs_baseline': 0,
-            'error': f'device backend init timed out after '
-                     f'{_init_timeout:.0f}s (TPU relay unreachable); '
-                     f'no measurement taken',
+            'error': f'{_why}; no measurement taken',
             'last_recorded_measurement_fps': 720.3,
             'last_recorded_note': 'NOT measured by this run — the most '
                                   'recent recorded v5e measurement '
@@ -75,9 +82,9 @@ def main():
     batch = int(os.environ.get('BENCH_BATCH', '128'))
     iters = int(os.environ.get('BENCH_ITERS', '15'))
 
+    s2d = os.environ.get('BENCH_S2D', '') not in ('0', '', 'false')
     model = EfficientDet(num_classes=20, compound_coef=2,
-                         dtype=jnp.bfloat16,
-                         s2d_stem=bool(os.environ.get('BENCH_S2D')))
+                         dtype=jnp.bfloat16, s2d_stem=s2d)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (batch, size, size, 8), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
@@ -91,7 +98,7 @@ def main():
     # recall_target 0.99) — the measured +10.5% round-3 win; BENCH_APPROX=0
     # forces the exact top_k for A/B. Recorded in the JSON line.
     approx = os.environ.get('BENCH_APPROX', '1') not in ('0', '', 'false')
-    if os.environ.get('BENCH_FUSED'):
+    if os.environ.get('BENCH_FUSED', '') not in ('0', '', 'false'):
         from mm_distillnet_tpu.models.fused_forward import \
             make_fused_predictor
         fwd = make_fused_predictor(model, variables, size,

@@ -35,6 +35,22 @@ from .pseudo_labels import (PseudoLabelConfig, fuse_teacher_labels,
                             teacher_detections)
 from ..ops.postprocess import detections_to_labels
 
+# A/B hook (scripts/ab_focal_step.py): when True, the student focal loss
+# consumes the heads' pre-sigmoid logits (focal_loss(..., logits=...),
+# the -softplus identities). Module-level and read at TRACE time, so the
+# harness can flip it before jitting. Default False on purpose: the
+# logit-space variant measured 5-13 ms/step SLOWER in the composed train
+# step (round 3, BENCH_NOTES.md) despite fewer transcendentals.
+FOCAL_FROM_LOGITS = False
+
+
+def _student_focal(out, annotations, anchors):
+    if FOCAL_FROM_LOGITS and out.logits is not None:
+        return focal_loss(out.classification, out.regression, annotations,
+                          anchors, logits=out.logits)
+    return focal_loss(out.classification, out.regression, annotations,
+                      anchors)
+
 
 class TrainState(NamedTuple):
     step: jnp.ndarray
@@ -190,8 +206,7 @@ def compute_distill_losses(student_model, params, batch_stats,
         # train_methods.py:557-558); the reference computes the identical
         # focal loss once per teacher then averages — same value, so one
         # evaluation suffices (and it covers the zero-teacher case).
-        r, c = focal_loss(out.classification, out.regression,
-                          batch['label'], anchors)
+        r, c = _student_focal(out, batch['label'], anchors)
         reg_losses, cls_losses = [r], [c]
     elif method == 'traditional':
         # per-teacher labels, no cross-teacher fusion (ModelWithLoss,
@@ -199,8 +214,7 @@ def compute_distill_losses(student_model, params, batch_stats,
         reg_losses, cls_losses = [], []
         for lab in per_teacher:
             ann = jnp.concatenate([lab[..., :4], lab[..., 5:6]], axis=-1)
-            r, c = focal_loss(out.classification, out.regression, ann,
-                              anchors)
+            r, c = _student_focal(out, ann, anchors)
             reg_losses.append(r)
             cls_losses.append(c)
     else:
@@ -209,8 +223,9 @@ def compute_distill_losses(student_model, params, batch_stats,
             fuse_inputs = _augment_label_union(per_teacher)
         fused = fuse_teacher_labels(fuse_inputs, cfg.pl)
         # Probability path on purpose: the logit-space variant measured
-        # slower in the composed step (scripts/ab_focal_step.py round 3).
-        r, c = focal_loss(out.classification, out.regression, fused, anchors)
+        # slower in the composed step (scripts/ab_focal_step.py round 3;
+        # flip FOCAL_FROM_LOGITS above to re-measure).
+        r, c = _student_focal(out, fused, anchors)
         reg_losses, cls_losses = [r], [c]
 
     # ---- KD losses ----

@@ -70,25 +70,24 @@ class FusedBackbone:
                                      jnp.float32)
 
         # Plan which kernel runs each block:
-        #   pallas — whole-block-in-VMEM kernel (ops/pallas_mbconv): deep
-        #            blocks whose working set fits the 16 MB default;
-        #   flax   — XLA (the measured default winner on every block:
-        #            BENCH_NOTES.md round-2 per-block A/B; the row-tiled
-        #            early-block kernel was retired after losing 3-10x on
-        #            all 23 blocks).
-        # Override with plan_spec, e.g. 'pallas:6-22' (benchmarking).
+        #   flax   — XLA, the DEFAULT for every block (the measured winner
+        #            on all 23 blocks: BENCH_NOTES.md round-2 per-block
+        #            A/B; the row-tiled early-block kernel was retired
+        #            after losing 3-10x everywhere);
+        #   pallas — whole-block-in-VMEM kernel (ops/pallas_mbconv),
+        #            opt-in ONLY via plan_spec (e.g. 'pallas:6-22' for
+        #            benchmarking); blocks whose working set exceeds the
+        #            VMEM budget fall back to flax.
         spatial = image_size // 2
         override = dict(_parse_plan(plan_spec, len(self.blocks)))
         self.plan: List[Tuple[str, Any]] = []
         for i, args in enumerate(self.blocks):
             bp = params[f'_blocks_{i}']
             bs = stats[f'_blocks_{i}']
-            kind = override.get(i)
-            if kind is None:
-                if mbconv_vmem_bytes(args, spatial) <= VMEM_BUDGET_BYTES:
-                    kind = 'pallas'
-                else:
-                    kind = 'flax'
+            kind = override.get(i, 'flax')
+            if (kind == 'pallas'
+                    and mbconv_vmem_bytes(args, spatial) > VMEM_BUDGET_BYTES):
+                kind = 'flax'
             if kind == 'flax':
                 self.plan.append(('flax', (args, {'params': bp,
                                                   'batch_stats': bs})))

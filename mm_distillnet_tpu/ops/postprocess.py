@@ -105,15 +105,22 @@ def postprocess_detections(classification: jnp.ndarray,
             # approx=True routes candidate selection through the TPU's
             # PartialReduce top-k (jax.lax.approx_max_k, recall_target
             # 0.99). It operates on floats; non-negative int32 bitcast to
-            # float32 is order-preserving, so clamp the -1 "dropped"
-            # marker to 0 first (any surviving candidate packs to > 0:
-            # quantized score in the high bits with conf_threshold > 0).
-            shifted = jnp.maximum(masked, 0)
+            # float32 is order-preserving — but packed values below 2^23
+            # (winner score < 2^-6) would land in the SUBNORMAL range,
+            # which the TPU flushes to zero inside the reduction, silently
+            # dropping low-confidence survivors when conf_threshold
+            # < 1/64. Bias survivors by 2^23 so every candidate bitcasts
+            # to a normal float (max biased value 2^29+2^23 < 2^31 keeps
+            # the sign bit clear; order is preserved); dropped anchors
+            # map to 0, below every biased survivor.
+            bias = jnp.int32(1 << 23)
+            shifted = jnp.where(masked >= 0, masked + bias, 0)
             as_f32 = jax.lax.bitcast_convert_type(shifted, jnp.float32)
             top_f, top_idx = jax.lax.approx_max_k(
                 as_f32, num_candidates, recall_target=0.99)
-            top_packed = jax.lax.bitcast_convert_type(top_f, jnp.int32)
-            cand_valid = top_packed > 0
+            top_biased = jax.lax.bitcast_convert_type(top_f, jnp.int32)
+            cand_valid = top_biased >= bias
+            top_packed = jnp.where(cand_valid, top_biased - bias, 0)
         else:
             top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
             cand_valid = top_packed >= 0

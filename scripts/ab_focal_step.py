@@ -41,14 +41,6 @@ from profile_train_step import build  # noqa: E402
 BATCH = int(os.environ.get('AB_BATCH', '8'))
 ITERS = int(os.environ.get('AB_ITERS', '10'))
 
-_REAL_FOCAL = F.focal_loss
-
-
-def _focal_no_logits(classification, regression, annotations, anchors,
-                     logits=None):
-    return _REAL_FOCAL(classification, regression, annotations, anchors)
-
-
 def _per_image_loss_r2(classification, regression, annotations, anchors,
                        from_logits=False):
     """The round-2 formulation verbatim (commit 71483e2): select-then-pow
@@ -113,7 +105,11 @@ def time_variant(use_logits: bool, highest: bool, r2_body: bool = False):
     F.ASSIGN_PRECISION = (jax.lax.Precision.HIGHEST if highest
                           else jax.lax.Precision.DEFAULT)
     F._per_image_loss = _per_image_loss_r2 if r2_body else _REAL_PER_IMAGE
-    TS.focal_loss = _REAL_FOCAL if use_logits else _focal_no_logits
+    # Flip the trace-time hook in train_step — the step's focal call sites
+    # route through TS._student_focal, which reads this module global.
+    # (Patching TS.focal_loss stopped working when commit 81eaa6b made the
+    # probability path the default call; the hook restores the A/B axis.)
+    TS.FOCAL_FROM_LOGITS = use_logits
     (student, teachers, batch, t_vars, state, tx, anchors, class_valid,
      pred_to_label, cfg) = build(BATCH)
     step = make_train_step(student, teachers, tx, cfg, anchors, class_valid,

@@ -180,9 +180,6 @@ def stage_eval(args, exp_suffix: str = 'student'):
     from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
     from mm_distillnet_tpu.models.registry import load_model
     from mm_distillnet_tpu.train.checkpoint import load_student_params
-    from mm_distillnet_tpu.train.bn_recalibration import \
-        recalibrate_batch_stats
-    from mm_distillnet_tpu.data.loader import collate
     from mm_distillnet_tpu.distill.train_step import TrainState
 
     cfg_run = default_config(**{
@@ -319,8 +316,9 @@ def parse_args(argv=None):
     p.add_argument('--epochs-b', type=int, default=1000)
     p.add_argument('--val-interval', type=int, default=250)
     p.add_argument('--dtype', default='bfloat16')
-    p.add_argument('--kdlist', action='store_true', default=True)
-    p.add_argument('--no-kdlist', dest='kdlist', action='store_false')
+    # kdlist leg is ON by default; only --no-kdlist is meaningful
+    p.add_argument('--no-kdlist', dest='kdlist', action='store_false',
+                   default=True)
     p.add_argument('--exp-name', default='convergence-shipped')
     return p.parse_args(argv)
 

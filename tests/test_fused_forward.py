@@ -41,6 +41,21 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(pallas_mbconv.pl, 'pallas_call', forced)
 
 
+def test_fused_backbone_default_plan_is_all_xla():
+    """With no plan_spec the plan must be all-flax (XLA) — the measured
+    winner on every block (BENCH_NOTES.md round-2 per-block A/B); the
+    pallas kernel is opt-in only."""
+    size = 64
+    bb = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, size, size, 3))
+    variables = bb.init(jax.random.PRNGKey(1), x)
+    wrapped = {'params': {'backbone_net': variables['params']},
+               'batch_stats': {'backbone_net': variables['batch_stats']}}
+    fused = FusedBackbone(wrapped, compound_coef=0, image_size=size,
+                          dtype=jnp.float32)
+    assert all(k == 'flax' for k, _ in fused.plan)
+
+
 def test_fused_backbone_mixed_plan_matches_flax(_interpret):
     size = 64
     bb = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32)

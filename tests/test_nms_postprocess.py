@@ -133,6 +133,46 @@ def test_postprocess_approx_topk_recovers_exact_detections():
         assert recall >= 0.9, (recall, b)
 
 
+def test_postprocess_approx_topk_low_conf_threshold():
+    """conf_threshold < 2^-6 used to pack survivors to int32 values below
+    2^23, whose f32 bitcast is SUBNORMAL — flushed to zero inside the
+    TPU's approx_max_k, silently dropping them. The +2^23 bias keeps every
+    survivor a normal float; this pins the low-threshold recall."""
+    size = 128
+    anchors = anchor_table(size)
+    n, c = anchors.shape[0], 20
+    rng = np.random.default_rng(7)
+    cls = np.zeros((1, n, c), np.float32)
+    # every planted score is BELOW 2^-6 = 0.015625 (the subnormal band)
+    for a in rng.choice(n, 12, replace=False):
+        cls[0, a, 6] = rng.uniform(0.002, 0.012)
+    reg = np.zeros((1, n, 4), np.float32)
+    table = class_validity_table(c, valid_prediction_ids=[6])
+    kwargs = dict(image_size=size, conf_threshold=0.001, nms_threshold=0.5,
+                  num_candidates=64, max_detections=16)
+    exact = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), **kwargs)
+    approx = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), approx=True, **kwargs)
+    want = {tuple(np.round(r, 3)) for r, v in
+            zip(np.asarray(exact.boxes[0]), np.asarray(exact.valid[0]))
+            if v}
+    got = {tuple(np.round(r, 3)) for r, v in
+           zip(np.asarray(approx.boxes[0]), np.asarray(approx.valid[0]))
+           if v}
+    assert want, 'exact path found nothing — test setup broken'
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+    # scores must round-trip through the biased packing unchanged
+    exact_scores = sorted(float(s) for s, v in
+                          zip(exact.scores[0], exact.valid[0]) if v)
+    approx_scores = sorted(float(s) for s, v in
+                           zip(approx.scores[0], approx.valid[0]) if v)
+    np.testing.assert_allclose(approx_scores, exact_scores, atol=1e-7)
+
+
 def test_postprocess_high_class_filtered_out():
     size = 128
     anchors = anchor_table(size)

@@ -228,3 +228,39 @@ def test_per_replica_bn_train_step():
     for got, want in zip(pr_means, expected):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_focal_from_logits_hook_routes_to_logits_path(monkeypatch):
+    """scripts/ab_focal_step.py flips TS.FOCAL_FROM_LOGITS to A/B the
+    logit-space focal variant; the hook must actually switch the call
+    (the old TS.focal_loss monkeypatch silently became a no-op when the
+    probability path became the default call — commit 81eaa6b)."""
+    import mm_distillnet_tpu.distill.train_step as TS
+
+    calls = []
+
+    def spy(classification, regression, annotations, anchors, logits=None):
+        calls.append(logits is not None)
+        return jnp.zeros(()), jnp.zeros(())
+
+    monkeypatch.setattr(TS, 'focal_loss', spy)
+
+    class Out:
+        classification = jnp.zeros((1, 4, 2))
+        regression = jnp.zeros((1, 4, 4))
+        logits = jnp.zeros((1, 4, 2))
+
+    ann = jnp.zeros((1, 3, 5))
+    anchors = jnp.zeros((4, 4))
+    monkeypatch.setattr(TS, 'FOCAL_FROM_LOGITS', False)
+    TS._student_focal(Out(), ann, anchors)
+    monkeypatch.setattr(TS, 'FOCAL_FROM_LOGITS', True)
+    TS._student_focal(Out(), ann, anchors)
+    assert calls == [False, True]
+
+    # and an output without logits falls back to the probability path
+    class OutNoLogits(Out):
+        logits = None
+
+    TS._student_focal(OutNoLogits(), ann, anchors)
+    assert calls == [False, True, False]
