@@ -56,14 +56,19 @@ def make_serving_fn(model, variables, image_size: int, *,
                     max_detections: int = 100,
                     approx: bool = False,
                     valid_prediction_ids: Optional[Sequence[int]] = None,
-                    num_classes: int = 20) -> Callable[[jnp.ndarray],
-                                                       Detections]:
+                    num_classes: int = 20,
+                    mesh=None) -> Callable[[jnp.ndarray], Detections]:
     """Weight-baked jitted predictor: images (B,H,W,C) -> Detections.
 
     `variables` are closed over (donated to the compiled executable as
     constants), so the returned function — and anything exported from it —
     is self-contained. Thresholds mirror the shipped eval defaults
     (reference configs/mm-distillnet.cfg:117-119).
+
+    With `mesh` (a 1-D `data` Mesh, parallel.mesh.create_mesh) the batch
+    dim is sharded over the mesh — multi-chip serving on a v5e-8 slab is
+    the same call with a bigger batch; XLA partitions the program, no
+    collectives needed (batch-parallel inference).
     """
     anchors = jnp.asarray(anchor_table(image_size))
     if valid_prediction_ids is None:
@@ -71,7 +76,6 @@ def make_serving_fn(model, variables, image_size: int, *,
     class_valid = jnp.asarray(
         class_validity_table(num_classes, list(valid_prediction_ids)))
 
-    @jax.jit
     def predict(x: jnp.ndarray) -> Detections:
         out = model.apply(variables, x, train=False)
         return postprocess_detections(
@@ -80,7 +84,11 @@ def make_serving_fn(model, variables, image_size: int, *,
             nms_threshold=nms_threshold, num_candidates=num_candidates,
             max_detections=max_detections, approx=approx)
 
-    return predict
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding
+        sh = batch_sharding(mesh)
+        return jax.jit(predict, in_shardings=sh, out_shardings=sh)
+    return jax.jit(predict)
 
 
 def export_predictor(predict_fn, batch_size: int, image_size: int,

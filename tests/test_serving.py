@@ -84,3 +84,38 @@ def test_serve_many_pads_and_chunks():
                                atol=1e-5)
     np.testing.assert_allclose(got.scores[4], np.asarray(ref.scores[0]),
                                atol=1e-6)
+
+
+def test_cross_platform_tpu_export_from_cpu(tmp_path):
+    """platforms=('tpu',) must lower from a CPU host (ship artifacts to a
+    serving fleet without a chip attached to the build machine)."""
+    model, variables, _ = _build()
+    predict = make_serving_fn(model, variables, SIZE,
+                              num_candidates=64, max_detections=16)
+    path = os.path.join(tmp_path, 'predictor_tpu.stablehlo')
+    export_predictor(predict, BATCH, SIZE, 8, path, platforms=('tpu',))
+    assert os.path.getsize(path) > 0
+
+
+def test_sharded_serving_matches_single_device():
+    """mesh-sharded predictor (batch over 8 virtual devices) must produce
+    the single-device results — batch-parallel inference is pure SPMD."""
+    from mm_distillnet_tpu.parallel.mesh import create_mesh
+    model, variables, _ = _build()
+    mesh = create_mesh()
+    batch = 8
+    images = jax.random.normal(jax.random.PRNGKey(3),
+                               (batch, SIZE, SIZE, 8))
+    single = make_serving_fn(model, variables, SIZE,
+                             num_candidates=64, max_detections=16)
+    sharded = make_serving_fn(model, variables, SIZE,
+                              num_candidates=64, max_detections=16,
+                              mesh=mesh)
+    want = single(images)
+    got = sharded(images)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    np.testing.assert_allclose(np.asarray(got.boxes),
+                               np.asarray(want.boxes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), atol=1e-6)
