@@ -57,7 +57,8 @@ def make_serving_fn(model, variables, image_size: int, *,
                     approx: bool = False,
                     valid_prediction_ids: Optional[Sequence[int]] = None,
                     num_classes: int = 20,
-                    mesh=None) -> Callable[[jnp.ndarray], Detections]:
+                    mesh=None,
+                    quant_pack=None) -> Callable[[jnp.ndarray], Detections]:
     """Weight-baked jitted predictor: images (B,H,W,C) -> Detections.
 
     `variables` are closed over (donated to the compiled executable as
@@ -69,6 +70,12 @@ def make_serving_fn(model, variables, image_size: int, *,
     dim is sharded over the mesh — multi-chip serving on a v5e-8 slab is
     the same call with a bigger batch; XLA partitions the program, no
     collectives needed (batch-parallel inference).
+
+    With `quant_pack` (quant.build_quant_pack) the forward runs the int8
+    path (quant.quantized_apply): same module tree, packed convs as
+    s8xs8->s32, scales baked — the bandwidth-bound graph moves half the
+    bytes (see the roofline in BENCH_NOTES.md). Export/micro-batching
+    compose unchanged.
     """
     anchors = jnp.asarray(anchor_table(image_size))
     if valid_prediction_ids is None:
@@ -77,7 +84,12 @@ def make_serving_fn(model, variables, image_size: int, *,
         class_validity_table(num_classes, list(valid_prediction_ids)))
 
     def predict(x: jnp.ndarray) -> Detections:
-        out = model.apply(variables, x, train=False)
+        if quant_pack is not None:
+            from .quant import quantized_apply
+            out = quantized_apply(model, variables, quant_pack, x,
+                                  train=False)
+        else:
+            out = model.apply(variables, x, train=False)
         return postprocess_detections(
             out.classification, out.regression, anchors, class_valid,
             image_size=image_size, conf_threshold=conf_threshold,

@@ -5,6 +5,7 @@ measures at batch 128.
 
 Usage:  python scripts/bench_serving.py            (TPU)
         MMDT_PLATFORM=cpu SERVE_SIZES=1,2 python scripts/bench_serving.py
+        python scripts/bench_serving.py --quant    (int8 path A/B)
 """
 from __future__ import annotations
 
@@ -34,6 +35,8 @@ ITERS = int(os.environ.get('SERVE_ITERS', '20'))
 BATCHES = [int(b) for b in
            os.environ.get('SERVE_SIZES', '1,2,4,8,16').split(',')]
 APPROX = os.environ.get('SERVE_APPROX', '1') not in ('0', '', 'false')
+QUANT = ('--quant' in sys.argv
+         or os.environ.get('SERVE_QUANT', '') not in ('0', '', 'false'))
 
 
 def main():
@@ -43,11 +46,17 @@ def main():
                            jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0)
 
+    quant_pack = None
+    if QUANT:
+        from mm_distillnet_tpu.quant import build_quant_pack
+        quant_pack = build_quant_pack(
+            model, variables, x0, [jax.device_get(x0)], train=False)
+
     rows = []
     for batch in BATCHES:
         predict = make_serving_fn(model, variables, SIZE,
                                   num_candidates=256, max_detections=32,
-                                  approx=APPROX)
+                                  approx=APPROX, quant_pack=quant_pack)
         x = jax.random.normal(jax.random.PRNGKey(2),
                               (batch, SIZE, SIZE, 8), jnp.float32)
 
@@ -59,7 +68,7 @@ def main():
         row = {'batch': batch, 'ms_per_request': round(t * 1000, 2),
                'ms_per_image': round(t * 1000 / batch, 2),
                'fps': round(batch / t, 1), 'approx': APPROX,
-               'image_size': SIZE}
+               'quant': QUANT, 'image_size': SIZE}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
