@@ -65,6 +65,32 @@ def test_mta_multi_teacher_product_matches_torch():
     np.testing.assert_allclose(ours[0], oracle, rtol=1e-4, atol=1e-6)
 
 
+def test_mta_parity_mode_gradient_is_live():
+    """The parity-mode quirk kl_div(softmax, softmax) logs a near-constant
+    value (it is dominated by the teacher-attention entropy, which has no
+    student dependence — observed bit-identical to 4 decimals across 1000
+    epochs in the shipped-recipe proof logs), but its STUDENT gradient is
+    alive and aligned with the teacher: d(loss)/d(input) = -target/B, so
+    grad wrt the student features pushes student attention toward teacher
+    attention. Reference behavior: F.kl_div(input=softmax, ...) is linear
+    in `input` (src/loss/MTALoss.py:36-77)."""
+    rng = np.random.default_rng(7)
+    f_s = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    f_t = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+
+    def loss_of_student(f):
+        return jnp.sum(mta_loss([f], [f_t]))
+
+    g = jax.grad(loss_of_student)(f_s)
+    assert float(jnp.max(jnp.abs(g))) > 0, 'MTA gradient vanished'
+    # the directional derivative along -grad is negative (descent): the
+    # student-dependent term is ~1e-6 of the loss magnitude, far below
+    # what a float32 finite-difference of the full loss can resolve, so
+    # probe it exactly with a jvp instead of an eval-subtract.
+    _, df = jax.jvp(loss_of_student, (f_s,), (-g,))
+    assert float(df) < 0
+
+
 def _manual_neg_only_cls(cls):
     cls = np.clip(cls, 1e-4, 1 - 1e-4)
     return float(np.sum(0.75 * cls ** 2 * -np.log(1 - cls)))
