@@ -98,7 +98,25 @@ def main():
     # recall_target 0.99) — the measured +10.5% round-3 win; BENCH_APPROX=0
     # forces the exact top_k for A/B. Recorded in the JSON line.
     approx = os.environ.get('BENCH_APPROX', '1') not in ('0', '', 'false')
-    if os.environ.get('BENCH_FUSED', '') not in ('0', '', 'false'):
+    # BENCH_QUANT=1 runs the int8 PTQ forward (quant.quantized_apply):
+    # packed convs as s8xs8->s32 with baked scales — the bytes-lever the
+    # round-3 roofline identified (HBM-bound at bf16). A/B'd against the
+    # fp path under the same protocol; recorded in the JSON line.
+    quant = os.environ.get('BENCH_QUANT', '') not in ('0', '', 'false')
+    if quant:
+        from mm_distillnet_tpu.quant import build_quant_pack, quantized_apply
+        pack = build_quant_pack(model, variables, x[:8],
+                                [np.asarray(x[:8])], train=False)
+
+        @jax.jit
+        def predict(variables, x):
+            out = quantized_apply(model, variables, pack, x, train=False)
+            dets = postprocess_detections(
+                out.classification, out.regression, anchors, class_valid,
+                image_size=size, num_candidates=256, max_detections=32,
+                approx=approx)
+            return dets.boxes, dets.scores, dets.classes, dets.valid
+    elif os.environ.get('BENCH_FUSED', '') not in ('0', '', 'false'):
         from mm_distillnet_tpu.models.fused_forward import \
             make_fused_predictor
         fwd = make_fused_predictor(model, variables, size,
@@ -179,6 +197,7 @@ def main():
                          'bound of public EfficientDet-D2@768 numbers); the '
                          'reference publishes none (see BENCH_NOTES.md)',
         'approx_topk': approx,
+        'int8_quant': quant,
     }
     if achieved_tflops is not None:
         record['gflops_per_frame'] = round(flops_per_frame / 1e9, 2)

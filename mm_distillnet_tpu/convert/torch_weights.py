@@ -210,3 +210,92 @@ def load_torch_checkpoint(path: str, flax_variables, strict: bool = True):
     import torch
     sd = torch.load(path, map_location='cpu', weights_only=False)
     return convert_state_dict(sd, flax_variables, strict=strict)
+
+
+# ---------------------------------------------------------------------------
+# ImageNet-pretrained backbone bootstrap (model-zoo layout)
+# ---------------------------------------------------------------------------
+
+# Conv submodules of the lukemelas EfficientNet zoo layout. In the zoo
+# checkpoints Conv2dStaticSamePadding SUBCLASSES nn.Conv2d, so keys are
+# e.g. '_conv_stem.weight'; the reference's variant WRAPS a conv ('.conv.
+# weight', see Conv2dStaticSamePadding at reference
+# src/YetAnotherEfficientNet.py:27-65) — the adapter inserts the '.conv'
+# level and the 'backbone_net.model.' prefix to reach our canonical keys.
+_ZOO_CONV_MODULES = ('_conv_stem', '_expand_conv', '_depthwise_conv',
+                     '_se_reduce', '_se_expand', '_project_conv',
+                     '_conv_head')
+
+
+def _is_zoo_layout(sd: Dict[str, Any]) -> bool:
+    return any(k.startswith(('_conv_stem.', '_blocks.')) for k in sd)
+
+
+def _zoo_to_reference_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        for conv in _ZOO_CONV_MODULES:
+            for leaf in ('.weight', '.bias'):
+                suffix = conv + leaf
+                if k.endswith(suffix):
+                    k = k[: -len(leaf)] + '.conv' + leaf
+                    break
+        out['backbone_net.model.' + k] = v
+    return out
+
+
+def bootstrap_backbone_from_zoo(state_dict: Dict[str, Any], flax_variables,
+                                strict: bool = True):
+    """Initialize ONLY the backbone of a flax EfficientDet variables tree
+    from a stock model-zoo EfficientNet checkpoint (ImageNet weights).
+
+    Reproduces the reference's `from_pretrained` bootstrap (reference
+    src/YetAnotherEfficientNet.py:596-604): every backbone weight loads from
+    the zoo, EXCEPT the stem conv when the model's input channel count
+    differs from the checkpoint's (1- or 8-channel stems keep their random
+    init — the reference rebuilds the stem conv after loading). BiFPN and
+    heads always stay at their init (the zoo has no detector weights).
+
+    Accepts the lukemelas zoo layout ('_conv_stem.weight', '_blocks.N....')
+    or an already reference-shaped backbone state_dict. Returns
+    (variables, report); with strict=True raises if any non-stem backbone
+    parameter failed to load.
+    """
+    import jax
+
+    sd = strip_wrapper_prefixes(state_dict)
+    if _is_zoo_layout(sd):
+        sd = _zoo_to_reference_keys(sd)
+
+    # stem-swap rule: drop the zoo stem when channel counts mismatch
+    stem_key = 'backbone_net.model._conv_stem.conv.weight'
+    flax_stem = (flax_variables.get('params', {})
+                 .get('backbone_net', {})
+                 .get('_conv_stem', {}).get('kernel'))
+    stem_swapped = False
+    if stem_key in sd and flax_stem is not None:
+        zoo_in = np.asarray(sd[stem_key]).shape[1]  # OIHW
+        if zoo_in != flax_stem.shape[2]:            # HWIO
+            del sd[stem_key]
+            stem_swapped = True
+
+    variables, report = convert_state_dict(sd, flax_variables, strict=False)
+    report['stem_swapped'] = stem_swapped
+
+    # the bootstrap contract: every backbone param (except a swapped stem)
+    # must have loaded; everything else is EXPECTED missing
+    bad = [p for p in report['missing']
+           if p[1] == 'backbone_net'
+           and not (stem_swapped and '_conv_stem' in p)]
+    report['backbone_missing'] = bad
+    if strict and bad:
+        raise ValueError(f'pretrained backbone bootstrap failed to map '
+                         f'{len(bad)} backbone params: {bad[:8]}')
+    return variables, report
+
+
+def load_zoo_backbone(path: str, flax_variables, strict: bool = True):
+    """torch.load a model-zoo EfficientNet .pth and bootstrap the backbone."""
+    import torch
+    sd = torch.load(path, map_location='cpu', weights_only=False)
+    return bootstrap_backbone_from_zoo(sd, flax_variables, strict=strict)

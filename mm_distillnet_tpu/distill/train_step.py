@@ -19,7 +19,16 @@ Supported train methods (reference train_methods.py:899-942):
 
 Loss weighting matches traditional.py:171-181:
   loss = w_main * (mean(reg_losses) + mean(cls_losses))
-         + w_div * 0 + w_kd * sum(stack(kd_losses)).
+         + w_div * div + w_kd * sum(stack(kd_losses)).
+
+div_loss note: the reference BUILDS a DistillKL criterion from the config
+(utils.py:1587-1590) and ModelWithLoss even evaluates it
+(train_methods.py:572-573), but the value never reaches the gradient —
+the wrapper returns zeros in its place (train_methods.py:584) and the
+inner loop hard-codes loss_div = 0 (traditional.py:177). Here the key is
+LIVE: div_loss=DistillKL adds w_div * sum_teachers KL(student || teacher)
+over the pre-sigmoid class logits, reported as the KLDiv scalar. The
+shipped config's div_loss=None keeps reference-default behavior exactly.
 """
 from __future__ import annotations
 
@@ -71,8 +80,11 @@ class DistillConfig(NamedTuple):
     pl: PseudoLabelConfig = PseudoLabelConfig(image_size=768)
     # criterion selection (reference extract_criterions_from_config,
     # src/utils/utils.py:1556-1668): main_loss is YetAnotherFocalLoss;
-    # kd_loss in {MTALoss, AttentionLoss, None}
+    # kd_loss in {MTALoss, AttentionLoss, None};
+    # div_loss in {DistillKL, None} — see the module docstring for why the
+    # DistillKL path is live here while the reference drops its value.
     kd_loss: str = 'MTALoss'
+    div_loss: str = 'None'
     # use_labels=True trains against the dataset's ground-truth annotations
     # instead of teacher pseudo-labels — only honored by the 'traditional'
     # method, matching the reference (ModelWithLoss.forward, reference
@@ -114,7 +126,9 @@ def _teacher_forward(teacher_models: Dict[str, Any],
                      batch: Dict[str, jnp.ndarray]):
     """Frozen-teacher forwards (eval-mode BN; teachers are never trained,
     reference train_methods.py:891-893). Returns
-    {modality: (classification, regression, features)}."""
+    {modality: (classification, regression, features, logits)} where
+    logits are the pre-sigmoid class outputs (consumed only by
+    div_loss=DistillKL; XLA dead-code-eliminates them otherwise)."""
     outs = {}
     for modality, model in teacher_models.items():
         if hasattr(model, 'modalities'):
@@ -127,15 +141,18 @@ def _teacher_forward(teacher_models: Dict[str, Any],
         feats = [jax.lax.stop_gradient(f) for f in
                  (o.features if model.features_from == 'efficientnet'
                   else [o.align_features])]
+        logits_t = (jax.lax.stop_gradient(o.logits)
+                    if o.logits is not None else None)
         outs[modality] = (jax.lax.stop_gradient(o.classification),
-                          jax.lax.stop_gradient(o.regression), feats)
+                          jax.lax.stop_gradient(o.regression), feats,
+                          logits_t)
     return outs
 
 
 def _labels_per_teacher(t_outs, anchors, class_valid, pred_to_label, cfg):
     """Per-teacher padded label tensors (B, max_det, 6) with scores."""
     labels = []
-    for modality, (cls_t, reg_t, _) in t_outs.items():
+    for modality, (cls_t, reg_t, _, _) in t_outs.items():
         dets = teacher_detections(cls_t, reg_t, anchors, class_valid, cfg.pl)
         labels.append(detections_to_labels(dets, pred_to_label,
                                            cfg.pl.image_size,
@@ -177,8 +194,8 @@ def compute_distill_losses(student_model, params, batch_stats,
     t_outs = _teacher_forward(teacher_models, teacher_variables,
                               {**batch, cfg.student_input: audio})
     if augment:
-        t_outs = {m: (c, r, average_teacher_features_batch01(f))
-                  for m, (c, r, f) in t_outs.items()}
+        t_outs = {m: (c, r, average_teacher_features_batch01(f), lg)
+                  for m, (c, r, f, lg) in t_outs.items()}
 
     # ---- student forward ----
     variables = {'params': params, 'batch_stats': batch_stats}
@@ -230,7 +247,7 @@ def compute_distill_losses(student_model, params, batch_stats,
 
     # ---- KD losses ----
     kd_losses = []
-    teacher_feats = [f for (_, _, f) in t_outs.values()]
+    teacher_feats = [f for (_, _, f, _) in t_outs.values()]
     if not teacher_feats:
         kd_losses.append(jnp.zeros((1,)))
     elif cfg.kd_loss in (None, 'None'):
@@ -247,10 +264,27 @@ def compute_distill_losses(student_model, params, batch_stats,
             kd_losses.append(mta_loss(feats_s, ft, cfg.T, cfg.p,
                                       cfg.mta_parity))
 
+    # ---- divergence loss (div_loss=DistillKL; see module docstring) ----
+    if cfg.div_loss not in (None, 'None', 'DistillKL'):
+        # mirror the factory's loud rejection (reference utils.py:1592)
+        raise ValueError(f'Unsupported DIV Loss {cfg.div_loss}')
+    loss_div = jnp.zeros(())
+    if cfg.div_loss == 'DistillKL' and t_outs and out.logits is not None:
+        from ..losses.aux_losses import distill_kl
+        for (_, _, _, logits_t) in t_outs.values():
+            if logits_t is not None:
+                # class-axis softmax: the detector analogue of Hinton KD
+                # over (B, N_anchors, C) pre-sigmoid logits (the RepDistiller
+                # original, reference src/loss/DistillKL.py:24-31, softmaxes
+                # dim=1 of (B, C) classifier logits — same axis role).
+                loss_div = loss_div + distill_kl(out.logits, logits_t,
+                                                 T=4.0, axis=-1)
+
     loss_regression = jnp.mean(jnp.stack(reg_losses))
     loss_cls = jnp.mean(jnp.stack(cls_losses))
     loss_kd = jnp.sum(jnp.stack(kd_losses))
-    loss = cfg.w_main * (loss_regression + loss_cls) + cfg.w_kd * loss_kd
+    loss = (cfg.w_main * (loss_regression + loss_cls)
+            + cfg.w_div * loss_div + cfg.w_kd * loss_kd)
 
     aux = {
         'batch_stats': new_batch_stats,
@@ -258,7 +292,7 @@ def compute_distill_losses(student_model, params, batch_stats,
             'Total_loss': loss,
             'Regression_loss': loss_regression,
             'Class_loss': loss_cls,
-            'KLDiv': jnp.zeros(()),
+            'KLDiv': loss_div,
             'KD': loss_kd,
         },
     }

@@ -49,12 +49,23 @@ def count_params(variables) -> int:
                                                            variables))))
 
 
-def make_predict_fn(model, image_size: int, config, variables=None):
+def make_predict_fn(model, image_size: int, config, variables=None,
+                    mesh=None, quant_pack=None):
     """Jitted: input image -> padded label rows [x1,y1,x2,y2,score,label].
 
     With config `fused_inference=True` (and `variables` provided), the
     backbone runs through the fused Pallas MBConv path
     (models.fused_forward); weights are baked into the compiled function.
+
+    With `mesh` (a 1-D `data` Mesh), the batch dim of `x` and of the
+    returned label rows is sharded over the mesh while variables/tables
+    stay replicated — the SPMD replacement for the reference's
+    `nn.DataParallel` eval wrap (reference evaluate.py:148-162). Feed a
+    batch that divides the mesh size (evaluate() pads via
+    parallel.mesh.pad_batch_to_devices).
+
+    With `quant_pack` (quant.build_quant_pack), the forward runs the int8
+    PTQ path (config `quant_inference=True` builds one in evaluate()).
     """
     anchors = jnp.asarray(anchor_table(image_size))
     conf = config.getfloat('conf_threshold', fallback=0.3)
@@ -70,10 +81,15 @@ def make_predict_fn(model, image_size: int, config, variables=None):
         from .models.fused_forward import make_fused_predictor
         fused = make_fused_predictor(model, variables, image_size)
 
-    @jax.jit
     def predict(variables, x, class_valid, pred_to_label):
-        out = fused(x) if fused is not None else \
-            model.apply(variables, x, train=False)
+        if quant_pack is not None:
+            from .quant import quantized_apply
+            out = quantized_apply(model, variables, quant_pack, x,
+                                  train=False)
+        elif fused is not None:
+            out = fused(x)
+        else:
+            out = model.apply(variables, x, train=False)
         dets = postprocess_detections(
             out.classification, out.regression, anchors, class_valid,
             image_size=image_size, conf_threshold=conf,
@@ -83,16 +99,26 @@ def make_predict_fn(model, image_size: int, config, variables=None):
                                       include_scores=True)
         return labels, out.features
 
-    return predict
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding, replicated_sharding
+        data = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+        return jax.jit(predict,
+                       in_shardings=(rep, data, rep, rep),
+                       out_shardings=(data, data))
+    return jax.jit(predict)
 
 
 def make_fused_teacher_fn(teacher_models: Dict[str, Any], image_size: int,
-                          config):
-    """Jitted: all teacher inputs -> fused pseudo-GT label rows."""
+                          config, mesh=None):
+    """Jitted: all teacher inputs -> fused pseudo-GT label rows.
+
+    `mesh` shards the batch dim over the `data` axis (teacher variables
+    replicated), same contract as make_predict_fn.
+    """
     cfg = distill_config_from(config, image_size)
     anchors = jnp.asarray(anchor_table(image_size))
 
-    @jax.jit
     def fused(teacher_variables, batch, class_valid, pred_to_label):
         per_teacher = []
         for modality, model in teacher_models.items():
@@ -107,7 +133,14 @@ def make_fused_teacher_fn(teacher_models: Dict[str, Any], image_size: int,
                 dets, pred_to_label, image_size, include_scores=True))
         return fuse_teacher_labels(per_teacher, cfg.pl)
 
-    return fused
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding, replicated_sharding
+        data = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+        return jax.jit(fused,
+                       in_shardings=(rep, data, rep, rep),
+                       out_shardings=data)
+    return jax.jit(fused)
 
 
 def _rows_with_scores_to_lists(rows: np.ndarray) -> List[List[List[float]]]:
@@ -149,7 +182,34 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         num_classes, valid_prediction_ids(vcd)))
     pred_to_label = jnp.asarray(prediction_to_label_lut(vcd, num_classes))
 
-    predict = make_predict_fn(s_module, image_size, config, variables=s_vars)
+    # SPMD eval: shard the prediction batch over all local devices (the
+    # reference wraps eval in nn.DataParallel, evaluate.py:148-162; here the
+    # same surface runs one jit sharded over a 1-D `data` mesh). Config
+    # `eval_devices` caps the mesh (fallback: all local devices); a 1-device
+    # mesh degenerates to the plain jit.
+    from .parallel.mesh import create_mesh, pad_batch_to_devices
+    n_eval_dev = config.getint('eval_devices', fallback=-1) or -1
+    n_avail = len(jax.local_devices())
+    n_eval_dev = n_avail if n_eval_dev <= 0 else min(n_eval_dev, n_avail)
+    mesh = create_mesh(n_eval_dev) if n_eval_dev > 1 else None
+
+    # int8 PTQ inference opt-in (`quant_inference=True`): calibrate
+    # activation scales on the first frames of the test set, then run the
+    # student forward through quant.quantized_apply. See quant.py for why
+    # (the roofline says the eval forward is HBM-bound; int8 halves the
+    # bytes).
+    quant_pack = None
+    student_key = student_input_key(config)
+    if config.getboolean('quant_inference', fallback=False):
+        from .quant import build_quant_pack
+        n_cal = min(len(test_set), 8)
+        calib = np.stack([np.asarray(test_set[i][student_key])
+                          for i in range(n_cal)])
+        quant_pack = build_quant_pack(s_module, s_vars, jnp.asarray(calib),
+                                      [calib], train=False)
+
+    predict = make_predict_fn(s_module, image_size, config, variables=s_vars,
+                              mesh=mesh, quant_pack=quant_pack)
     testing_points = list(teacher_models.keys())
     if (config.getboolean('use_thermal', fallback=False)
             and config.getboolean('use_depth', fallback=False)
@@ -174,26 +234,28 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         if modality == 'ALL':
             fused_fn = make_fused_teacher_fn(
                 {m: mv[0] for m, mv in teacher_models.items()},
-                image_size, config)
+                image_size, config, mesh=mesh)
             t_vars = {m: mv[1] for m, mv in teacher_models.items()}
         else:
             fused_fn = make_fused_teacher_fn(
-                {modality: teacher_models[modality][0]}, image_size, config)
+                {modality: teacher_models[modality][0]}, image_size, config,
+                mesh=mesh)
             t_vars = {modality: teacher_models[modality][1]}
 
         all_predictions, all_labels = [], []
         target_classes: List[float] = []
         n_frames = 0
         start_time = time.time()
-        student_key = student_input_key(config)
+
         def _drain(entry):
             batch, n, pred_rows, fused = entry
             # host reads happen here, AFTER the next batch's device work
             # has been dispatched (one-batch software pipeline: each host
             # round-trip through the axon relay costs ~27 ms and would
-            # otherwise serialize with the device)
-            preds = _rows_with_scores_to_lists(np.asarray(pred_rows))
-            fused = np.asarray(fused)
+            # otherwise serialize with the device). [:n] drops the rows
+            # pad_batch_to_devices added for even mesh sharding.
+            preds = _rows_with_scores_to_lists(np.asarray(pred_rows)[:n])
+            fused = np.asarray(fused)[:n]
             labels = labels_to_lists(fused)
             all_predictions.append(preds)
             all_labels.append(labels)
@@ -212,7 +274,15 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         depth = max(1, config.getint('eval_pipeline_depth', fallback=2))
         pending = deque()
         for bi, batch in enumerate(loader):
-            audio = jnp.asarray(batch[student_key])
+            arrays = {m: batch[m]
+                      for m in ('rgb', 'thermal', 'depth', 'audio')
+                      if m in batch}
+            n_real = arrays[student_key].shape[0]
+            if mesh is not None:
+                # tail batches must still divide the mesh: repeat the last
+                # frame (results sliced back to n_real in _drain)
+                arrays, _ = pad_batch_to_devices(arrays, n_eval_dev)
+            audio = jnp.asarray(arrays[student_key])
             pred_rows, _ = predict(s_vars, audio, class_valid, pred_to_label)
             if config.getboolean('use_labels', fallback=False) and \
                     'label' in batch and (batch['label'][..., 4] != -1).any():
@@ -220,12 +290,10 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
             else:
                 # a generator teacher consumes modalities beyond its own
                 # key, so ship every image modality in the batch
-                dev_inputs = {m: jnp.asarray(batch[m])
-                              for m in ('rgb', 'thermal', 'depth', 'audio')
-                              if m in batch}
+                dev_inputs = {m: jnp.asarray(a) for m, a in arrays.items()}
                 fused = fused_fn(t_vars, dev_inputs, class_valid,
                                  pred_to_label)
-            pending.append((batch, audio.shape[0], pred_rows, fused))
+            pending.append((batch, n_real, pred_rows, fused))
             while len(pending) > depth:
                 _drain(pending.popleft())
             if fast_run and bi >= 1:

@@ -15,11 +15,13 @@ from .mta import attention_map
 
 
 def distill_kl(logits_s: jnp.ndarray, logits_t: jnp.ndarray,
-               T: float = 4.0) -> jnp.ndarray:
+               T: float = 4.0, axis: int = 1) -> jnp.ndarray:
     """KL(log_softmax(s/T) || softmax(t/T)) * T^2 / B
-    (reference src/loss/DistillKL.py:24-31)."""
-    log_p_s = jax.nn.log_softmax(logits_s / T, axis=1)
-    p_t = jax.nn.softmax(logits_t / T, axis=1)
+    (reference src/loss/DistillKL.py:24-31; axis=1 is the class axis of the
+    RepDistiller original's (B, C) inputs — detector callers pass axis=-1
+    so the softmax stays over classes for (B, N_anchors, C) logits)."""
+    log_p_s = jax.nn.log_softmax(logits_s / T, axis=axis)
+    p_t = jax.nn.softmax(logits_t / T, axis=axis)
     kl = jnp.sum(p_t * (jnp.log(jnp.clip(p_t, min=1e-38)) - log_p_s))
     return kl * (T ** 2) / logits_s.shape[0]
 

@@ -164,6 +164,24 @@ def load_model(model_type: str, config, modality: Optional[str] = None,
     saved_path = (config.get('saved_path', 'trained_models')
                   if config is not None else 'trained_models')
     saved_path = saved_path.strip('"')
+
+    # ImageNet-pretrained backbone bootstrap (config `backbone_pretrained`
+    # = path to a stock model-zoo EfficientNet .pth): applied BEFORE any
+    # task checkpoint so a full task load overrides it — the reference's
+    # `from_pretrained` + stem-swap path for training new teachers
+    # (reference src/YetAnotherEfficientNet.py:596-604).
+    zoo_path = (config.get('backbone_pretrained', fallback=None)
+                if config is not None else None)
+    if zoo_path and str(zoo_path).lower() not in ('none', 'false', ''):
+        if not os.path.exists(zoo_path):
+            raise FileNotFoundError(
+                f'backbone_pretrained={zoo_path} does not exist')
+        from ..convert.torch_weights import load_zoo_backbone
+        variables, report = load_zoo_backbone(zoo_path, variables,
+                                              strict=True)
+        logger.info('backbone bootstrapped from %s (stem_swapped=%s)',
+                    zoo_path, report['stem_swapped'])
+
     if ckpt_name is not None:
         path = os.path.join(saved_path, ckpt_name)
         # Teacher checkpoints must load completely: a silently partial

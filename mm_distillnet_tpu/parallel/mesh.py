@@ -26,16 +26,48 @@ DATA_AXIS = 'data'
 
 def distributed_init_if_needed(config=None) -> None:
     """Multi-host initialization (replaces dist.init_process_group,
-    reference train.py:296-313). No-op on single-process runs; driven by the
-    standard JAX_COORDINATOR env vars or explicit config keys."""
+    reference train.py:296-313). No-op when no coordinator is configured;
+    driven by the standard JAX_COORDINATOR_ADDRESS env var or explicit
+    config keys (coordinator_address / nodes / rank, mirroring the
+    reference's MASTER_ADDR + rank/world_size contract).
+
+    A configured-but-failed init RAISES: silently degrading a multi-host
+    run to single-host would train on 1/Nth of the data while reporting
+    success (the reference fails loudly too — dist.init_process_group
+    raises on an unreachable master)."""
     addr = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    num_processes = os.environ.get('JAX_NUM_PROCESSES')
+    process_id = os.environ.get('JAX_PROCESS_ID')
     if config is not None:
-        addr = config.get('coordinator_address', addr) or addr
-    if addr and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # already initialized or single-host
+        addr = config.get('coordinator_address', fallback=None) or addr
+        num_processes = (config.get('num_processes', fallback=None)
+                         or num_processes)
+        process_id = config.get('process_id', fallback=None) or process_id
+    if not addr:
+        return
+    # Check "already initialized" WITHOUT jax.process_count(): that would
+    # initialize the backend, after which distributed.initialize() is
+    # rejected. The distributed client handle is the init-state source of
+    # truth.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, 'client', None) is not None:
+        return  # idempotent re-entry
+    kwargs = {'coordinator_address': addr}
+    if num_processes is not None:
+        kwargs['num_processes'] = int(num_processes)
+    if process_id is not None:
+        kwargs['process_id'] = int(process_id)
+    timeout_s = os.environ.get('JAX_COORDINATOR_INIT_TIMEOUT')
+    if timeout_s is not None:
+        kwargs['initialization_timeout'] = int(timeout_s)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # The one legitimate re-entry case: this process already ran
+        # initialize() (e.g. trainer called after the CLI did).
+        if 'already initialized' in str(e).lower():
+            return
+        raise
 
 
 def create_mesh(num_devices: int = -1,

@@ -52,6 +52,7 @@ def distill_config_from(config, image_size: int) -> DistillConfig:
         p=config.getfloat('p', fallback=2.0),
         mta_parity=config.getboolean('mta_parity_mode', fallback=True),
         kd_loss=config.get('kd_loss', 'MTALoss'),
+        div_loss=config.get('div_loss', fallback='None') or 'None',
         use_labels=config.getboolean('use_labels', fallback=False) or False,
         student_input=student_input_key(config),
         audio_augmentation_merge=config.getboolean(
@@ -213,7 +214,12 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
             dev_batch, _ = _device_batch(batch, mesh, n_dev)
             state, metrics = train_step(state, t_vars, dev_batch, rng)
             if it % 10 == 0 or it == num_iter - 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE host transfer for all scalars: per-scalar float(v)
+                # costs a full relay round-trip each (~27 ms on axon,
+                # BENCH_NOTES measurement discipline) — 5 scalars made the
+                # log step pay ~135 ms where one device_get pays ~27.
+                m = {k: float(v)
+                     for k, v in jax.device_get(metrics).items()}
                 step_id = epoch * num_iter + it
                 writer.add_scalar('Train/Total_loss', m['Total_loss'], step_id)
                 writer.add_scalar('Train_/Regression_loss',
@@ -239,8 +245,8 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
             for vit, batch in enumerate(val_loader):
                 dev_batch, _ = _device_batch(batch, mesh, n_dev)
                 val_metrics.append(
-                    {k: float(v)
-                     for k, v in eval_step(state, t_vars, dev_batch).items()})
+                    {k: float(v) for k, v in jax.device_get(
+                        eval_step(state, t_vars, dev_batch)).items()})
                 if fast_run and vit >= 1:
                     break
             val_loss = float(np.mean([m['Total_loss'] for m in val_metrics]))

@@ -101,7 +101,7 @@ def profile(batch_size):
     # student fwd/bwd + optimizer against FIXED fused labels + teacher feats
     t_outs = _teacher_forward(teachers, t_vars, batch)
     fused = teachers_and_labels(t_vars, batch)
-    teacher_feats = [f for (_, _, f) in t_outs.values()]
+    teacher_feats = [f for (_, _, f, _) in t_outs.values()]
 
     def student_fwd_bwd(state, audio, fused):
         def loss_fn(params):

@@ -170,6 +170,38 @@ def test_kd_loss_dispatch(kd):
         assert kd_val >= 0.0  # AT loss is an MSE
 
 
+@pytest.mark.parametrize('div', ['None', 'DistillKL'])
+def test_div_loss_dispatch(div):
+    """div_loss=DistillKL must produce a LIVE KLDiv term (the reference
+    builds the criterion at utils.py:1587-1590 but drops its value at
+    traditional.py:177 — here the config key is honored end-to-end)."""
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup()
+    cfg = cfg._replace(div_loss=div, w_div=0.5)
+    step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                   class_valid, pred_to_label))
+    _, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(3))
+    kldiv = float(metrics['KLDiv'])
+    assert np.isfinite(kldiv)
+    if div == 'None':
+        assert kldiv == 0.0
+    else:
+        assert kldiv > 0.0  # KL between distinct random-init nets
+        # and it must reach the total (w_div-weighted)
+        total = float(metrics['Total_loss'])
+        assert np.isfinite(total)
+
+
+def test_div_loss_unknown_rejected():
+    (student, teachers, teacher_vars, tx, state, batch, anchors,
+     class_valid, pred_to_label, cfg) = _setup()
+    cfg = cfg._replace(div_loss='Bogus')
+    with pytest.raises(ValueError, match='Unsupported DIV Loss'):
+        step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
+                                       class_valid, pred_to_label))
+        step(state, teacher_vars, batch, jax.random.PRNGKey(3))
+
+
 def test_synthetic_yield_batch_mixing():
     from mm_distillnet_tpu.config import default_config
     from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
