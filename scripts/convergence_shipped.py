@@ -141,6 +141,85 @@ def stage_teachers(args):
 
 
 # --------------------------------------------------------------------------
+# Stage: teachers-continue (sharpen score calibration before distilling)
+# --------------------------------------------------------------------------
+
+def stage_teachers_continue(args):
+    """Continue each trained teacher for --epochs-a2 more at --lr-a2.
+
+    Why: the round-3 recorded runs landed the student at ~19.5 AP@0.5 vs GT
+    with teachers at 62-72 — and scripts/diag_teacher_continue.py measured
+    the cause as teacher score CALIBRATION, not the distillation path:
+    +400 epochs at lr 3e-4 takes the rgb teacher from 61.6 to 99.8 AP@0.5
+    vs GT (TP score mean 0.47 -> 0.87). Miscalibrated teachers emit
+    pseudo-labels that straddle the 0.3 conf threshold (reference
+    utils.py:1783, same threshold here), so the fused labels the student
+    distills from are noisy/truncated. This stage sharpens the teachers
+    and OVERWRITES their registry checkpoints; resumable via the
+    '<modality>_cont' keys in teachers.json.
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from convergence import _ap50, _config, _recalibrate
+    from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
+    from mm_distillnet_tpu.models.registry import load_model
+    from mm_distillnet_tpu.train.trainer import train
+
+    teachers_json = os.path.join(args.exp_name, 'teachers.json')
+    with open(teachers_json) as f:
+        teacher_ap = json.load(f)
+    for modality in TEACHER_MODALITIES:
+        key = f'{modality}_cont'
+        if key in teacher_ap:
+            print(f'[shipped] teacher {modality} already continued '
+                  f'(AP@0.5 = {teacher_ap[key]}), skipping', file=sys.stderr)
+            continue
+        cfg = _config(args, num_epoches=args.epochs_a2, lr=args.lr_a2,
+                      step_size=200, gamma=0.3, use_labels=True,
+                      student_input=modality, kd_loss='None',
+                      train_method='traditional', use_thermal=True,
+                      use_depth=True, dataset='Synthetic',
+                      saved_path=os.path.join(args.exp_name,
+                                              'trained_models'),
+                      teacher='YetAnotherEfficientDet_D2',
+                      student='YetAnotherEfficientDet_D2',
+                      compound_coef=args.coef, seed=24,
+                      exp_name=f'{args.exp_name}/teacher-{modality}-cont')
+        train_set = SyntheticMultimodal(cfg, 'train')
+        # resume from the stage-"teachers" checkpoint via the registry —
+        # the exact load path train.py itself uses
+        module, variables = load_model('YetAnotherEfficientDet_D2', cfg,
+                                       modality)
+        state = train({}, (module, variables), cfg, train_set, None)
+        variables = _recalibrate(module, state, train_set, modality,
+                                 args.batch)
+        ap = _ap50({modality: (module, variables)}, (module, variables),
+                   train_set, cfg)
+        teacher_ap[key] = round(ap, 2)
+        print(f'[shipped] teacher {modality} continued: AP@0.5 '
+              f'{teacher_ap[modality]} -> {ap:.2f}', file=sys.stderr)
+
+        path = os.path.abspath(os.path.join(
+            args.exp_name, 'trained_models', CKPT_NAMES[modality]))
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {
+            'params': jax.tree_util.tree_map(lambda x: jnp.asarray(x),
+                                             variables['params']),
+            'batch_stats': jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x), variables['batch_stats'])})
+        ckptr.wait_until_finished()
+        with open(teachers_json, 'w') as f:
+            json.dump(teacher_ap, f)
+
+    print(json.dumps({'teacher_ap50': teacher_ap}))
+
+
+# --------------------------------------------------------------------------
 # Stage: train (through the public CLI; called as a subprocess by 'all')
 # --------------------------------------------------------------------------
 
@@ -264,12 +343,25 @@ def stage_all(args):
                    '--step-size', str(args.step_size),
                    '--gamma', str(args.gamma),
                    '--epochs-a', str(args.epochs_a),
+                   '--epochs-a2', str(args.epochs_a2),
+                   '--lr-a2', str(args.lr_a2),
                    '--epochs-b', str(args.epochs_b),
                    '--val-interval', str(args.val_interval),
                    '--dtype', args.dtype]
 
     _run(self_cmd + ['--stage', 'teachers'] + passthrough,
          os.path.join(args.exp_name, 'teachers.log'))
+    if args.epochs_a2 > 0:
+        _run(self_cmd + ['--stage', 'teachers-continue'] + passthrough,
+             os.path.join(args.exp_name, 'teachers-continue.log'))
+    if args.fresh_student:
+        import shutil
+        for suffix in ('student', 'student-kdlist'):
+            d = os.path.join(args.exp_name, suffix)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                print(f'[shipped] --fresh-student: removed {d}',
+                      file=sys.stderr)
     _run(_train_cli_cmd(args, 'traditional_nms_augmented', 'student'),
          os.path.join(args.exp_name, 'train-augmented.log'))
     _run(self_cmd + ['--stage', 'eval', '--exp-suffix', 'student']
@@ -284,7 +376,8 @@ def stage_all(args):
     result = {'recipe': 'traditional_nms_augmented 3-teacher '
                         f'{args.dtype} via train.py CLI',
               'size': args.size, 'frames': args.frames,
-              'epochs_a': args.epochs_a, 'epochs_b': args.epochs_b}
+              'epochs_a': args.epochs_a, 'epochs_a2': args.epochs_a2,
+              'epochs_b': args.epochs_b}
     with open(os.path.join(args.exp_name, 'teachers.json')) as f:
         result['teacher_ap50'] = json.load(f)
     with open(os.path.join(args.exp_name, 'student-eval.json')) as f:
@@ -302,7 +395,8 @@ def stage_all(args):
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--stage', default='all',
-                   choices=['all', 'teachers', 'train-cmd', 'eval'])
+                   choices=['all', 'teachers', 'teachers-continue',
+                            'train-cmd', 'eval'])
     p.add_argument('--exp-suffix', default='student')
     p.add_argument('--size', type=int, default=256)
     p.add_argument('--frames', type=int, default=8)
@@ -313,6 +407,14 @@ def parse_args(argv=None):
     p.add_argument('--step-size', type=int, default=300)
     p.add_argument('--gamma', type=float, default=0.3)
     p.add_argument('--epochs-a', type=int, default=600)
+    # calibration-sharpening continuation (diag_teacher_continue.py
+    # measurement: +400 @ 3e-4 -> rgb teacher 61.6 -> 99.8 AP@0.5);
+    # 0 disables
+    p.add_argument('--epochs-a2', type=int, default=400)
+    p.add_argument('--lr-a2', type=float, default=3e-4)
+    p.add_argument('--fresh-student', action='store_true', default=False,
+                   help='delete student run dirs before the train stages '
+                        '(use when teachers were re-sharpened)')
     p.add_argument('--epochs-b', type=int, default=1000)
     p.add_argument('--val-interval', type=int, default=250)
     p.add_argument('--dtype', default='bfloat16')
@@ -327,6 +429,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.stage == 'teachers':
         stage_teachers(args)
+    elif args.stage == 'teachers-continue':
+        stage_teachers_continue(args)
     elif args.stage == 'eval':
         stage_eval(args, args.exp_suffix)
     elif args.stage == 'train-cmd':
