@@ -411,8 +411,12 @@ def make_eval_loss_step(student_model, teacher_models, cfg: DistillConfig,
     return eval_step
 
 
-def init_train_state(student_model, rng, sample_input, tx) -> TrainState:
-    variables = jax.jit(student_model.init)(rng, sample_input)
+def init_train_state(student_model, rng, sample_input, tx,
+                     variables=None) -> TrainState:
+    """`variables` short-circuits the jitted init when the caller already
+    has them (checkpoint restore, tests' fast_init)."""
+    if variables is None:
+        variables = jax.jit(student_model.init)(rng, sample_input)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = tx.init(params)

@@ -22,13 +22,22 @@ from .bifpn import BiFPN
 from .efficientnet import EfficientNetFeatures
 from .heads import Classifier, Regressor
 
-# Per-coefficient scaling tables (reference src/YetAnotherEfficientDet.py:611-629)
-BACKBONE_COEF = (0, 1, 2, 3, 4, 5, 6, 6)
-FPN_NUM_FILTERS = (64, 88, 112, 160, 224, 288, 384, 384)
-FPN_CELL_REPEATS = (3, 4, 5, 6, 7, 7, 8, 8)
-INPUT_SIZES = (512, 640, 768, 896, 1024, 1280, 1280, 1536)
-BOX_CLASS_REPEATS = (3, 3, 3, 4, 4, 4, 5, 5)
-ANCHOR_SCALE = (4., 4., 4., 4., 4., 4., 4., 5.)
+# Per-coefficient scaling tables (reference src/YetAnotherEfficientDet.py:611-629).
+# Dicts keyed by compound_coef; key -1 is the TEST-TINY profile (same
+# topology — 5-level pyramid, BiFPN, shared heads — at ~50x smaller graph)
+# for plumbing tests and doc examples. It is NOT a reference configuration.
+def _coef_table(tiny, *d0_to_d7):
+    table = dict(enumerate(d0_to_d7))
+    table[-1] = tiny
+    return table
+
+
+BACKBONE_COEF = _coef_table(-1, 0, 1, 2, 3, 4, 5, 6, 6)
+FPN_NUM_FILTERS = _coef_table(16, 64, 88, 112, 160, 224, 288, 384, 384)
+FPN_CELL_REPEATS = _coef_table(1, 3, 4, 5, 6, 7, 7, 8, 8)
+INPUT_SIZES = _coef_table(128, 512, 640, 768, 896, 1024, 1280, 1280, 1536)
+BOX_CLASS_REPEATS = _coef_table(1, 3, 3, 3, 4, 4, 4, 5, 5)
+ANCHOR_SCALE = _coef_table(4., 4., 4., 4., 4., 4., 4., 4., 5.)
 NUM_ANCHORS_PER_CELL = 9  # 3 scales x 3 ratios
 
 

@@ -47,7 +47,13 @@ BASE_BLOCKS: Tuple[BlockArgs, ...] = (
 )
 
 # width, depth, resolution, dropout (reference src/YetAnotherEfficientNet.py:226-241)
+# Key -1 is the TEST-TINY profile: same topology (stem + 7 stages, same
+# stride structure, so the P3..P5 taps exist), ~10x fewer channels and one
+# block per stage — for plumbing tests and doc examples where compile time
+# matters and capacity doesn't. NOT a reference configuration; no
+# pretrained weights exist for it.
 EFFICIENTNET_PARAMS = {
+    -1: (0.25, 0.1, 64, 0.0),
     0: (1.0, 1.0, 224, 0.2),
     1: (1.0, 1.1, 240, 0.2),
     2: (1.1, 1.2, 260, 0.3),

@@ -21,7 +21,10 @@ from mm_distillnet_tpu.models.registry import (build_model,
                                                get_data_dim_from_config,
                                                maybe_load_checkpoint)
 
+from .helpers import fast_init, fast_train_state
+
 SIZE = 128
+CC = -1  # test-tiny profile; real coefs covered by shape/parity suites
 
 
 def test_registry_generator_dispatch():
@@ -50,11 +53,11 @@ def test_audio_static_from_shipped_teacher_string_is_plain():
     from mm_distillnet_tpu.models.registry import load_model
     config = default_config(use_rgb=True, use_thermal=True, use_depth=True,
                             use_audio=True, image_size=SIZE,
-                            compute_dtype='float32', compound_coef=0)
+                            compute_dtype='float32', compound_coef=-1)
     module, variables = load_model('YetAnotherEfficientDet_D2', config,
                                    'audio_static')
     assert isinstance(module, EfficientDet)
-    assert module.compound_coef == 0  # config compound_coef honored
+    assert module.compound_coef == -1  # config compound_coef honored
     stem = variables['params']['backbone_net']['_conv_stem']['kernel']
     assert stem.shape[2] == 8  # audio_static input channels
 
@@ -67,10 +70,10 @@ def test_plain_checkpoint_fills_generator_slots():
     from mm_distillnet_tpu.convert.torch_weights import convert_state_dict
 
     gen = EfficientDetGenerator(modalities=('audio', 'rgb'), num_classes=4,
-                                compound_coef=0, dtype=jnp.float32)
+                                compound_coef=CC, dtype=jnp.float32)
     inputs = {'rgb': jnp.zeros((1, SIZE, SIZE, 3)),
               'audio': jnp.zeros((1, SIZE, SIZE, 3))}
-    variables = jax.jit(gen.init)(jax.random.PRNGKey(0), inputs)
+    variables = fast_init(gen, 0, inputs)
 
     # synthesize a "plain model" torch checkpoint for one backbone+neck by
     # round-tripping the generator's own rgb slot through the torch naming
@@ -121,24 +124,21 @@ def test_generator_teacher_distill_step():
         'audio': jax.random.normal(rng, (2, SIZE, SIZE, 8)),
     }
     teachers = {
-        'rgb': EfficientDet(num_classes=20, compound_coef=0,
+        'rgb': EfficientDet(num_classes=20, compound_coef=CC,
                             dtype=jnp.float32),
         'audio': EfficientDetGenerator(
             modalities=('audio', 'rgb', 'thermal'), num_classes=20,
-            compound_coef=0, integration_mode='concat', dtype=jnp.float32),
+            compound_coef=CC, integration_mode='concat', dtype=jnp.float32),
     }
     t_vars = {
-        'rgb': jax.jit(teachers['rgb'].init)(jax.random.PRNGKey(1),
-                                             batch['rgb']),
-        'audio': jax.jit(teachers['audio'].init)(jax.random.PRNGKey(2),
-                                                 batch),
+        'rgb': fast_init(teachers['rgb'], 1, batch['rgb']),
+        'audio': fast_init(teachers['audio'], 2, batch),
     }
-    student = EfficientDet(num_classes=20, compound_coef=0,
+    student = EfficientDet(num_classes=20, compound_coef=CC,
                            dtype=jnp.float32)
     config = default_config(image_size=SIZE)
     tx = build_optimizer(config)
-    state = init_train_state(student, jax.random.PRNGKey(9), batch['audio'],
-                             tx)
+    state = fast_train_state(student, 9, batch['audio'], tx)
     cfg = DistillConfig(train_method='traditional_nms',
                         pl=PseudoLabelConfig(image_size=SIZE,
                                              num_candidates=64,
@@ -158,9 +158,8 @@ def test_strict_teacher_load_raises(tmp_path):
     (VERDICT: silent partial teachers poison pseudo-labels)."""
     torch = pytest.importorskip('torch')
 
-    model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, SIZE, SIZE, 3)))
+    model = EfficientDet(num_classes=4, compound_coef=CC, dtype=jnp.float32)
+    variables = fast_init(model, 0, jnp.zeros((1, SIZE, SIZE, 3)))
     path = tmp_path / 'corrupt.pth'
     torch.save({'definitely_not_a_real_key': torch.zeros(3)}, str(path))
     with pytest.raises(ValueError, match='unmatched'):

@@ -10,6 +10,8 @@ from mm_distillnet_tpu.models.efficientnet import (
     round_filters)
 from mm_distillnet_tpu.ops.anchors import anchor_table, num_anchors
 
+from .helpers import fast_init
+
 
 def test_b2_block_expansion():
     blocks = expand_block_args(2)
@@ -22,7 +24,7 @@ def test_b2_block_expansion():
 def test_backbone_pyramid_shapes():
     model = EfficientNetFeatures(compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    params = fast_init(model, 0, x)
     feats = model.apply(params, x)
     # [P2, P3, P4, P5] at strides 4, 8, 16, 32
     assert [f.shape for f in feats] == [
@@ -45,7 +47,7 @@ def test_efficientdet_forward_shapes(in_ch):
     size = 128
     model = EfficientDet(num_classes=20, compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((2, size, size, in_ch))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    variables = fast_init(model, 0, x)
     out = model.apply(variables, x)
     n = num_anchors(size)
     assert out.classification.shape == (2, n, 20)
@@ -62,7 +64,7 @@ def test_efficientdet_forward_shapes(in_ch):
 def test_batchnorm_stats_update_in_train_mode():
     model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 3))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    variables = fast_init(model, 0, x)
     out, mutated = model.apply(
         variables, x, train=True, mutable=['batch_stats'],
         rngs={'dropout': jax.random.PRNGKey(2)})
@@ -85,7 +87,7 @@ def test_generator_integration_modes():
         m = EfficientDetGenerator(modalities=('rgb', 'audio'),
                                   num_classes=4, compound_coef=0,
                                   integration_mode=mode, dtype=jnp.float32)
-        v = jax.jit(m.init)(jax.random.PRNGKey(0), inputs)
+        v = fast_init(m, 0, inputs)
         out = m.apply(v, inputs)
         n = num_anchors(128)
         assert out.classification.shape == (1, n, 4)

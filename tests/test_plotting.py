@@ -12,6 +12,8 @@ from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
 from mm_distillnet_tpu.models.efficientdet import EfficientDet
 from mm_distillnet_tpu.utils.plotting import plot_audio_predictions
 
+from .helpers import fast_init
+
 SIZE = 128
 
 
@@ -23,10 +25,8 @@ def test_plot_audio_predictions_artifacts(tmp_path):
     dataset = SyntheticMultimodal(config, 'val')
 
     def mk(seed, ch):
-        m = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-        v = jax.jit(m.init)(jax.random.PRNGKey(seed),
-                            jnp.zeros((1, SIZE, SIZE, ch)))
-        return m, v
+        m = EfficientDet(num_classes=20, compound_coef=-1, dtype=jnp.float32)
+        return m, fast_init(m, seed, jnp.zeros((1, SIZE, SIZE, ch)))
 
     teachers = {'rgb': mk(1, 3)}
     student = mk(9, 8)

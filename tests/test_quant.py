@@ -14,6 +14,8 @@ from flax import linen as nn
 
 from mm_distillnet_tpu import quant
 
+from .helpers import fast_init
+
 
 class _OneConv(nn.Module):
     features: int = 8
@@ -90,16 +92,16 @@ def test_policy_skips_se_and_header_and_depthwise_switch():
 
 
 def test_backbone_quantized_close_to_fp():
-    """EfficientNetFeatures D0 @64: the full MBConv stack (expand/dw/SE/
+    """EfficientNetFeatures tiny @64: the full MBConv stack (expand/dw/SE/
     project, swish, BN, skips) under int8 convs stays close to fp."""
     from mm_distillnet_tpu.models.efficientnet import EfficientNetFeatures
-    model = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32)
+    model = EfficientNetFeatures(compound_coef=-1, dtype=jnp.float32)
     x = (np.random.RandomState(0).rand(2, 64, 64, 3) * 2 - 1
          ).astype(np.float32)
-    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    v = fast_init(model, 0, jnp.asarray(x), train=False)
 
     pack = _pack_for(model, v, x)
-    assert len(pack.qkernels) > 30
+    assert len(pack.qkernels) > 12
     fp = model.apply(v, jnp.asarray(x), train=False)
     q = quant.quantized_apply(model, v, pack, jnp.asarray(x), train=False,
                               compute_dtype=jnp.float32)
@@ -131,9 +133,9 @@ def test_serving_fn_quantized_end_to_end():
     from the fp predictor only within quantization error."""
     from mm_distillnet_tpu.models.efficientdet import EfficientDet
     from mm_distillnet_tpu.serving import make_serving_fn
-    model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
+    model = EfficientDet(num_classes=4, compound_coef=-1, dtype=jnp.float32)
     x = (np.random.RandomState(1).rand(1, 128, 128, 3)).astype(np.float32)
-    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    v = fast_init(model, 0, jnp.asarray(x), train=False)
     pack = _pack_for(model, v, x)
 
     fp_fn = make_serving_fn(model, v, 128, num_classes=4,

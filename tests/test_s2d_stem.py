@@ -12,14 +12,16 @@ import numpy as np
 from mm_distillnet_tpu.models.efficientdet import EfficientDet
 from mm_distillnet_tpu.models.efficientnet import EfficientNetFeatures
 
+from .helpers import fast_init
+
 
 def test_s2d_backbone_matches_standard():
     size = 64
-    std = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32)
-    s2d = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32,
+    std = EfficientNetFeatures(compound_coef=-1, dtype=jnp.float32)
+    s2d = EfficientNetFeatures(compound_coef=-1, dtype=jnp.float32,
                                s2d_stem=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, size, size, 8))
-    variables = jax.jit(std.init)(jax.random.PRNGKey(1), x)
+    variables = fast_init(std, 1, x)
     want = std.apply(variables, x, train=False)
     got = s2d.apply(variables, x, train=False)
     for g, w in zip(got, want):
@@ -31,18 +33,18 @@ def test_s2d_param_tree_identical():
     """Checkpoints trained with the standard stem load into the s2d model
     unchanged (same param names/shapes)."""
     size = 32
-    std = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32)
-    s2d = EfficientNetFeatures(compound_coef=0, dtype=jnp.float32,
+    std = EfficientNetFeatures(compound_coef=-1, dtype=jnp.float32)
+    s2d = EfficientNetFeatures(compound_coef=-1, dtype=jnp.float32,
                                s2d_stem=True)
     x = jnp.zeros((1, size, size, 3))
-    v_std = jax.jit(std.init)(jax.random.PRNGKey(0), x)
-    v_s2d = jax.jit(s2d.init)(jax.random.PRNGKey(0), x)
+    v_std = fast_init(std, 0, x)
+    v_s2d = fast_init(s2d, 0, x)
     paths_std = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_std)[0]]
     paths_s2d = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_s2d)[0]]
     assert paths_std == paths_s2d
     k_std = v_std['params']['_conv_stem']['kernel']
     k_s2d = v_s2d['params']['_conv_stem']['kernel']
-    assert k_std.shape == k_s2d.shape == (3, 3, 3, 32)
+    assert k_std.shape == k_s2d.shape == (3, 3, 3, 8)
 
 
 def test_s2d_full_detector_matches():
@@ -50,11 +52,11 @@ def test_s2d_full_detector_matches():
     # inputs break the BiFPN's nearest-2x upsample chain (in the reference
     # torch code identically; 768/D2 never hits this).
     size = 128
-    std = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
-    s2d = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32,
+    std = EfficientDet(num_classes=4, compound_coef=-1, dtype=jnp.float32)
+    s2d = EfficientDet(num_classes=4, compound_coef=-1, dtype=jnp.float32,
                        s2d_stem=True)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, size, size, 8))
-    variables = jax.jit(std.init)(jax.random.PRNGKey(4), x)
+    variables = fast_init(std, 4, x)
     a = std.apply(variables, x, train=False)
     b = s2d.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(a.classification),

@@ -15,15 +15,17 @@ from mm_distillnet_tpu.models.efficientdet import EfficientDet
 from mm_distillnet_tpu.serving import (export_predictor, load_predictor,
                                        make_serving_fn, serve_many)
 
+from .helpers import fast_init
+
 SIZE = 128
 BATCH = 2
 
 
 def _build():
-    model = EfficientDet(num_classes=20, compound_coef=0,
+    model = EfficientDet(num_classes=20, compound_coef=-1,
                          dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, SIZE, SIZE, 8))
-    variables = model.init(jax.random.PRNGKey(1), x)
+    variables = fast_init(model, 1, x)
     return model, variables, x
 
 

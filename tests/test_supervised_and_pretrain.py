@@ -42,7 +42,10 @@ from mm_distillnet_tpu.ops.anchors import anchor_table
 from mm_distillnet_tpu.ops.postprocess import class_validity_table
 from mm_distillnet_tpu.train.optim import build_optimizer
 
+from .helpers import fast_init, fast_train_state
+
 SIZE = 128
+CC = -1  # test-tiny profile; real coefs covered by shape/parity suites
 
 
 def _batch(config, keys=('rgb', 'thermal', 'depth', 'audio')):
@@ -56,9 +59,9 @@ def test_supervised_no_teacher_step():
     """use_labels + zero teachers = plain supervised detector training."""
     config = default_config(image_size=SIZE, synthetic_size=4)
     batch = _batch(config)
-    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    model = EfficientDet(num_classes=20, compound_coef=CC, dtype=jnp.float32)
     tx = build_optimizer(config)
-    state = init_train_state(model, jax.random.PRNGKey(0), batch['rgb'], tx)
+    state = fast_train_state(model, 0, batch['rgb'], tx)
     cfg = DistillConfig(train_method='traditional', use_labels=True,
                         student_input='rgb', kd_loss='None',
                         pl=PseudoLabelConfig(image_size=SIZE,
@@ -84,13 +87,12 @@ def test_use_labels_only_affects_traditional():
     ModelWithLoss honors the flag)."""
     config = default_config(image_size=SIZE, synthetic_size=4)
     batch = _batch(config)
-    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-    teacher = EfficientDet(num_classes=20, compound_coef=0,
+    model = EfficientDet(num_classes=20, compound_coef=CC, dtype=jnp.float32)
+    teacher = EfficientDet(num_classes=20, compound_coef=CC,
                            dtype=jnp.float32)
-    t_vars = {'rgb': jax.jit(teacher.init)(jax.random.PRNGKey(1),
-                                           batch['rgb'])}
+    t_vars = {'rgb': fast_init(teacher, 1, batch['rgb'])}
     tx = build_optimizer(config)
-    state = init_train_state(model, jax.random.PRNGKey(0), batch['audio'], tx)
+    state = fast_train_state(model, 0, batch['audio'], tx)
     anchors = jnp.asarray(anchor_table(SIZE))
     class_valid = jnp.asarray(class_validity_table(20, list(range(20))))
     pl = PseudoLabelConfig(image_size=SIZE, num_candidates=64,
@@ -123,10 +125,8 @@ def test_pretrain_training_phase(tmp_path):
     val_set = SyntheticMultimodal(config, 'val')
 
     def mk(seed, ch):
-        m = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-        v = jax.jit(m.init)(jax.random.PRNGKey(seed),
-                            jnp.zeros((1, SIZE, SIZE, ch)))
-        return m, v
+        m = EfficientDet(num_classes=20, compound_coef=CC, dtype=jnp.float32)
+        return m, fast_init(m, seed, jnp.zeros((1, SIZE, SIZE, ch)))
 
     teachers = {'rgb': mk(1, 3)}
     student = mk(9, 8)
@@ -150,11 +150,9 @@ def test_pretrain_checkpoint_path_branch(tmp_path):
 
     train_cli = _import_train_cli()
 
-    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-    v1 = jax.jit(model.init)(jax.random.PRNGKey(0),
-                             jnp.zeros((1, SIZE, SIZE, 8)))
-    v2 = jax.jit(model.init)(jax.random.PRNGKey(7),
-                             jnp.zeros((1, SIZE, SIZE, 8)))
+    model = EfficientDet(num_classes=20, compound_coef=CC, dtype=jnp.float32)
+    v1 = fast_init(model, 0, jnp.zeros((1, SIZE, SIZE, 8)))
+    v2 = fast_init(model, 7, jnp.zeros((1, SIZE, SIZE, 8)))
     path = os.path.join(tmp_path, 'saved_params')
     ocp.StandardCheckpointer().save(path, v2)
 

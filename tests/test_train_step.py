@@ -16,17 +16,24 @@ from mm_distillnet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from mm_distillnet_tpu.train.optim import build_optimizer
 from mm_distillnet_tpu.config import default_config
 
+from .helpers import fast_init, fast_train_state  # noqa: E402
+
 SIZE = 128
+# Plumbing tests run the TEST-TINY profile (compound_coef=-1): same
+# topology and the same fused-step program structure as D0, ~50x smaller
+# graph. Real coefficients are covered by test_model_shapes and the
+# torch-oracle parity suites.
+CC = -1
 
 
 def _setup(method='traditional_nms_augmented', batch=2):
     config = default_config(lr='1e-3', train_method=method)
-    student = EfficientDet(num_classes=20, compound_coef=0,
+    student = EfficientDet(num_classes=20, compound_coef=CC,
                            dtype=jnp.float32)
     teachers = {
-        'rgb': EfficientDet(num_classes=20, compound_coef=0,
+        'rgb': EfficientDet(num_classes=20, compound_coef=CC,
                             dtype=jnp.float32),
-        'thermal': EfficientDet(num_classes=20, compound_coef=0,
+        'thermal': EfficientDet(num_classes=20, compound_coef=CC,
                                 dtype=jnp.float32),
     }
     rng = jax.random.PRNGKey(0)
@@ -36,12 +43,11 @@ def _setup(method='traditional_nms_augmented', batch=2):
         'audio': jax.random.normal(rng, (batch, SIZE, SIZE, 8)),
     }
     teacher_vars = {
-        m: jax.jit(t.init)(jax.random.PRNGKey(i + 1), batch_data[m])
+        m: fast_init(t, i + 1, batch_data[m])
         for i, (m, t) in enumerate(teachers.items())
     }
     tx = build_optimizer(config)
-    state = init_train_state(student, jax.random.PRNGKey(9),
-                             batch_data['audio'], tx)
+    state = fast_train_state(student, 9, batch_data['audio'], tx)
     anchors = jnp.asarray(anchor_table(SIZE))
     class_valid = jnp.asarray(class_validity_table(20, list(range(20))))
     pred_to_label = jnp.arange(20)
@@ -117,11 +123,9 @@ def test_sharded_step_equals_single_device_step():
     flip sign and legitimately differ by 2*lr.)"""
     (student, teachers, teacher_vars, _, _, batch, anchors,
      class_valid, pred_to_label, cfg) = _setup(batch=8)
-    from mm_distillnet_tpu.distill.train_step import init_train_state
     config = default_config(lr='1e-2', optimizer='SGD', momentum='0')
     tx = build_optimizer(config)
-    state = init_train_state(student, jax.random.PRNGKey(9),
-                             batch['audio'], tx)
+    state = fast_train_state(student, 9, batch['audio'], tx)
     step = jax.jit(make_train_step(student, teachers, tx, cfg, anchors,
                                    class_valid, pred_to_label))
 

@@ -12,6 +12,8 @@ from mm_distillnet_tpu.evaluation import evaluate
 from mm_distillnet_tpu.models.efficientdet import EfficientDet
 from mm_distillnet_tpu.train.trainer import train
 
+from .helpers import fast_init
+
 
 @pytest.fixture(scope='module')
 def tiny_setup(tmp_path_factory):
@@ -27,10 +29,8 @@ def tiny_setup(tmp_path_factory):
     val_set = SyntheticMultimodal(config, 'val')
 
     def mk(seed, ch):
-        m = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-        v = jax.jit(m.init)(jax.random.PRNGKey(seed),
-                            jnp.zeros((1, 128, 128, ch)))
-        return m, v
+        m = EfficientDet(num_classes=20, compound_coef=-1, dtype=jnp.float32)
+        return m, fast_init(m, seed, jnp.zeros((1, 128, 128, ch)))
 
     teachers = {'rgb': mk(1, 3), 'thermal': mk(2, 1)}
     student = mk(9, 8)
@@ -98,11 +98,9 @@ def test_evaluate_all_fuses_audio_static_teacher(tiny_setup):
     config['use_audio'] = 'True'
     try:
         def mk(seed, ch):
-            m = EfficientDet(num_classes=20, compound_coef=0,
+            m = EfficientDet(num_classes=20, compound_coef=-1,
                              dtype=jnp.float32)
-            v = jax.jit(m.init)(jax.random.PRNGKey(seed),
-                                jnp.zeros((1, 128, 128, ch)))
-            return m, v
+            return m, fast_init(m, seed, jnp.zeros((1, 128, 128, ch)))
 
         four = dict(teachers)
         four['audio'] = mk(3, 8)   # plain 8-channel static teacher

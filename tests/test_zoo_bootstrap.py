@@ -23,14 +23,18 @@ from mm_distillnet_tpu.convert.torch_weights import (
     _torch_key_for, bootstrap_backbone_from_zoo)
 from mm_distillnet_tpu.models.efficientdet import EfficientDet
 
+from .helpers import fast_init
+
 SIZE = 128
-COEF = 0
+COEF = -1  # zoo layout is derived from the tree, so the tiny profile
+           # exercises the same key mapping; the real-coef .pth round-trip
+           # lives in test_data_and_convert.py
 
 
 def _init(channels: int, seed: int = 0):
     model = EfficientDet(num_classes=20, compound_coef=COEF)
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((1, SIZE, SIZE, channels)))
+    variables = fast_init(model, seed,
+                          jnp.zeros((1, SIZE, SIZE, channels)))
     return model, variables
 
 
