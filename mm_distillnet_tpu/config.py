@@ -114,6 +114,10 @@ DEFAULTS = {
     'nms_candidates': '512',       # pre-NMS top-k candidates
     'max_gt': '64',                # padded pseudo-label capacity per image
     'compute_dtype': 'bfloat16',   # activations dtype inside the model
+    'transfer_dtype': '',          # host->device input copy dtype; empty =
+                                   # follow compute_dtype (bf16 halves the
+                                   # infeed bytes; set float32 for the
+                                   # reference's byte-exact input path)
     'mta_parity_mode': 'True',     # reproduce kl_div(softmax, softmax) quirk
     'mesh_shape': '-1',            # -1: all local devices on the data axis
     'compound_coef': '2',          # EfficientDet coefficient for registry
@@ -126,6 +130,24 @@ def default_config(**overrides: Any):
     values = dict(DEFAULTS)
     values.update({str(k): str(v) for k, v in overrides.items()})
     return config_from_dict(values)
+
+
+def transfer_dtype_from(config):
+    """Host->device input transfer dtype (a numpy dtype, or None for no
+    cast). Defaults to the compute dtype: when the models run bf16,
+    shipping f32 inputs doubles the infeed bytes only to have the first
+    conv cast them down — at 768px batch 8 that is 283 MB/step of which
+    half is pure waste (measured: the public train.py CLI on the axon
+    relay host is transfer-bound, BENCH_NOTES round 4). Override with the
+    `transfer_dtype` config key (`float32` restores the reference's
+    byte-exact input path)."""
+    name = (config.get('transfer_dtype', fallback='') or
+            config.get('compute_dtype', fallback='float32') or 'float32')
+    if name == 'bfloat16':
+        import ml_dtypes
+        import numpy as np
+        return np.dtype(ml_dtypes.bfloat16)
+    return None  # float32 inputs: no cast
 
 
 def student_input_key(config) -> str:

@@ -273,10 +273,17 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
         from collections import deque
         depth = max(1, config.getint('eval_pipeline_depth', fallback=2))
         pending = deque()
+        # Input transfer dtype: bf16 inputs halve the host->device infeed
+        # bytes when the model computes in bf16 anyway (config
+        # transfer_dtype; see train/trainer.py and BENCH_NOTES round 4).
+        from .config import transfer_dtype_from
+        tdtype = transfer_dtype_from(config)
         for bi, batch in enumerate(loader):
             arrays = {m: batch[m]
                       for m in ('rgb', 'thermal', 'depth', 'audio')
                       if m in batch}
+            if tdtype is not None:
+                arrays = {m: a.astype(tdtype) for m, a in arrays.items()}
             n_real = arrays[student_key].shape[0]
             if mesh is not None:
                 # tail batches must still divide the mesh: repeat the last

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import student_input_key
+from ..config import student_input_key, transfer_dtype_from
 from ..data.loader import DataLoader
 from ..distill.pseudo_labels import PseudoLabelConfig
 from ..distill.train_step import (DistillConfig, TrainState,
@@ -76,10 +76,34 @@ def _label_tables(dataset, num_classes: int):
     return class_valid, pred_to_label
 
 
-def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int):
+# Modalities cast to the transfer dtype before the host->device copy.
+# Labels/ids stay f32/host: they're tiny and the losses want full precision.
+_TRANSFER_KEYS = ('rgb', 'thermal', 'depth', 'audio')
+
+
+def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int,
+                  transfer_dtype=None):
     arrays = {k: v for k, v in batch.items() if k != 'id'}
+    if transfer_dtype is not None:
+        arrays = {k: (v.astype(transfer_dtype)
+                      if k in _TRANSFER_KEYS else v)
+                  for k, v in arrays.items()}
     arrays, orig = pad_batch_to_devices(arrays, n_dev)
     return shard_batch(mesh, arrays), orig
+
+
+def _device_lookahead(gen, mesh, n_dev, transfer_dtype):
+    """One-batch transfer pipeline: dispatch the (async) host->device copy
+    of batch k+1 before the caller consumes batch k, so the infeed overlaps
+    the previous step's execution. Yields (it, host_batch, dev_batch)."""
+    prev = None
+    for it, host in gen:
+        dev = _device_batch(host, mesh, n_dev, transfer_dtype)
+        if prev is not None:
+            yield prev
+        prev = (it, host, dev)
+    if prev is not None:
+        yield prev
 
 
 def train(teacher_models: Dict[str, Tuple[Any, Any]],
@@ -176,10 +200,11 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    epoch_loss = float(np.inf)
-    for epoch in range(start_epoch, num_epoches):
-        loader.set_epoch(epoch)
-        t_epoch = time.time()
+    transfer_dtype = transfer_dtype_from(config)
+
+    def _host_batches(epoch):
+        """Host-side batch preparation (mixing, debug introspection) —
+        everything that must see the numpy batch BEFORE the device copy."""
         for it, batch in enumerate(loader):
             # dataset-level audio mixing with the reference's ramping
             # probability schedule (traditional.py:113-117)
@@ -211,7 +236,15 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
                         n_lab = int((batch['label'][i][:, 4] != -1).sum())
                         parts.append(f'labels={n_lab}')
                     logger.debug(' '.join(parts))
-            dev_batch, _ = _device_batch(batch, mesh, n_dev)
+            yield it, batch
+
+    epoch_loss = float(np.inf)
+    for epoch in range(start_epoch, num_epoches):
+        loader.set_epoch(epoch)
+        t_epoch = time.time()
+        for it, _host, dev_batch in _device_lookahead(
+                _host_batches(epoch), mesh, n_dev, transfer_dtype):
+            dev_batch, _ = dev_batch
             state, metrics = train_step(state, t_vars, dev_batch, rng)
             if it % 10 == 0 or it == num_iter - 1:
                 # ONE host transfer for all scalars: per-scalar float(v)
@@ -243,7 +276,8 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
         if val_loader is not None and (epoch + 1) % val_interval == 0:
             val_metrics = []
             for vit, batch in enumerate(val_loader):
-                dev_batch, _ = _device_batch(batch, mesh, n_dev)
+                dev_batch, _ = _device_batch(batch, mesh, n_dev,
+                                             transfer_dtype)
                 val_metrics.append(
                     {k: float(v) for k, v in jax.device_get(
                         eval_step(state, t_vars, dev_batch)).items()})
