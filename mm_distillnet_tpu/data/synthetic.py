@@ -28,6 +28,16 @@ class SyntheticMultimodal(BaseDataset):
         self.ids = [f'synthetic_drive/{i:06d}_{900000000 + i:09d}_v'
                     for i in range(self.num_images)]
         self.car_label = self.valid_classes_dict['labels_txt2i'].get('car', 6)
+        # In-memory sample cache: frame generation is ~12 size^2 RNG draws
+        # per frame, which dominates end-to-end wall time on small hosts
+        # (this container has 1 CPU core). Samples are deterministic in
+        # (seed, item), so caching is semantics-free. Gated by a byte
+        # estimate so huge synthetic_size x image_size combos don't eat
+        # the host (15 f32 planes per frame: rgb3+thermal1+depth3+audio8).
+        est_bytes = self.num_images * self.image_size ** 2 * 15 * 4
+        cache_on = config.getboolean('synthetic_cache', fallback=True)
+        self._cache: Optional[Dict[int, Dict]] = \
+            {} if cache_on and est_bytes < 32 * 2 ** 30 else None
 
     def _boxes_for(self, rng: np.random.Generator, size: int) -> np.ndarray:
         n = rng.integers(1, 4)
@@ -60,6 +70,17 @@ class SyntheticMultimodal(BaseDataset):
         return labels, np.stack(audios)
 
     def __getitem__(self, item: int) -> Dict:
+        if self._cache is not None:
+            hit = self._cache.get(item)
+            if hit is not None:
+                return dict(hit)  # shallow copy; consumers never mutate
+                                  # the arrays in place (collate copies)
+        sample = self._generate(item)
+        if self._cache is not None:
+            self._cache[item] = sample
+        return dict(sample)
+
+    def _generate(self, item: int) -> Dict:
         size = self.image_size
         rng = np.random.default_rng(self.seed + item)
         boxes = self._boxes_for(rng, size)

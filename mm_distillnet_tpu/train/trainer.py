@@ -18,6 +18,7 @@ single fused jit step:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -251,8 +252,13 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
                 # costs a full relay round-trip each (~27 ms on axon,
                 # BENCH_NOTES measurement discipline) — 5 scalars made the
                 # log step pay ~135 ms where one device_get pays ~27.
-                m = {k: float(v)
-                     for k, v in jax.device_get(metrics).items()}
+                if os.environ.get('MMDT_PER_SCALAR_LOG'):
+                    # round-3 behavior, kept behind an env knob so the
+                    # BENCH_NOTES before/after A/B stays reproducible
+                    m = {k: float(v) for k, v in metrics.items()}
+                else:
+                    m = {k: float(v)
+                         for k, v in jax.device_get(metrics).items()}
                 step_id = epoch * num_iter + it
                 writer.add_scalar('Train/Total_loss', m['Total_loss'], step_id)
                 writer.add_scalar('Train_/Regression_loss',
