@@ -53,9 +53,19 @@ def set_learning_rate(opt_state, lr: float):
 
     Stored as a float32 array so the compiled train step's input signature
     stays stable (a bare python float would be traced as a weak type and
-    retrigger compilation)."""
+    retrigger compilation) — and placed with the SAME sharding as the leaf
+    it replaces: swapping a mesh-replicated leaf for an uncommitted
+    single-device array changes the jit input-sharding signature and
+    recompiles the whole fused step (measured: a 184 s second compile on
+    the first scheduler step of every train.py run, BENCH_NOTES round 4)."""
+    import jax
     import jax.numpy as jnp
-    opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    old = opt_state.hyperparams['learning_rate']
+    new = jnp.asarray(lr, jnp.float32)
+    sharding = getattr(old, 'sharding', None)
+    if sharding is not None:
+        new = jax.device_put(new, sharding)
+    opt_state.hyperparams['learning_rate'] = new
     return opt_state
 
 

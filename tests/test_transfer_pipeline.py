@@ -83,3 +83,33 @@ def test_device_lookahead_empty():
     mesh = create_mesh()
     assert list(_device_lookahead(iter(()), mesh, mesh.devices.size,
                                   None)) == []
+
+
+def test_set_learning_rate_preserves_sharding_no_recompile():
+    """The scheduler's between-epoch lr write must not change the compiled
+    step's input-sharding signature: replacing the mesh-replicated
+    hyperparam leaf with an uncommitted array recompiled the whole fused
+    train step on the first scheduler step of every run (a 184 s second
+    compile at D2@768, BENCH_NOTES round 4)."""
+    from mm_distillnet_tpu.parallel.mesh import replicate
+    from mm_distillnet_tpu.train.optim import (build_optimizer,
+                                               set_learning_rate)
+    cfg = default_config()
+    tx = build_optimizer(cfg)
+    params = {'w': jnp.ones((4,), jnp.float32)}
+    opt_state = replicate(create_mesh(), tx.init(params))
+    old_sharding = opt_state.hyperparams['learning_rate'].sharding
+
+    traces = []
+
+    @jax.jit
+    def step(o):
+        traces.append(1)  # runs only when (re)traced
+        return o.hyperparams['learning_rate'] * 2
+
+    step(opt_state)
+    opt_state = set_learning_rate(opt_state, 5e-5)
+    assert opt_state.hyperparams['learning_rate'].sharding == old_sharding
+    out = step(opt_state)
+    assert len(traces) == 1, 'lr update retriggered compilation'
+    np.testing.assert_allclose(float(out), 1e-4, rtol=1e-6)
