@@ -81,6 +81,11 @@ class BaseDataset:
         self.daytime = ('_' + config['daytime']
                         if config.get('daytime') else '')
         self.image_size = config.getint('image_size')
+        # Compact audio ingest (see ops/resize.stretch_mel_axis): the host
+        # pipeline stretches only the spectrogram's time axis; the 80-mel
+        # axis is stretched on-device inside the compiled step.
+        self.device_audio_resize = config.getboolean(
+            'device_audio_resize', fallback=False) or False
         self.use_thermal = config.getboolean('use_thermal')
         self.use_depth = config.getboolean('use_depth')
         self.use_rgb = config.getboolean('use_rgb', fallback=True)

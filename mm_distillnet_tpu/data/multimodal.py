@@ -47,7 +47,7 @@ class MultimodalDetection(BaseDataset):
         self.transformations = build_transformations(
             config.get(f'{"train" if mode == "train" else "val"}'
                        '_transformations', 'Normalizer,Resizer'),
-            self.image_size)
+            self.image_size, audio_time_only=self.device_audio_resize)
         self.ids = self.get_id_list()
         self.num_images = len(self.ids)
 

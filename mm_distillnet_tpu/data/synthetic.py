@@ -92,10 +92,20 @@ class SyntheticMultimodal(BaseDataset):
         thermal = (base + 0.05 * rng.standard_normal((size, size))
                    )[..., None].astype(np.float32)
         depth = rgb[..., ::-1].copy()
+        # Compact audio ingest (device_audio_resize): render the same
+        # audio geometry on an 80-row mel grid — what the real dataset's
+        # (80, T, 8) spectrogram stack looks like after the host-side
+        # time-only stretch; the device stretches the mel axis to `size`
+        # inside the compiled step (ops/resize.stretch_mel_axis).
+        mel_rows = 80 if self.device_audio_resize else size
+        ay = (np.arange(mel_rows, dtype=np.float32) / mel_rows)[:, None]
         audio = np.repeat(
-            (0.2 * np.sin(20 * np.pi * yy))[..., None], 8,
-            axis=-1).astype(np.float32)
-        audio += 0.05 * rng.standard_normal((size, size, 8)).astype(np.float32)
+            (0.2 * np.sin(20 * np.pi * ay) * np.ones((1, size),
+                                                     np.float32))[..., None],
+            8, axis=-1).astype(np.float32)
+        audio += 0.05 * rng.standard_normal(
+            (mel_rows, size, 8)).astype(np.float32)
+        row_scale = mel_rows / size
 
         for (x1, y1, x2, y2, _lab) in boxes:
             sl = np.s_[int(y1):int(y2), int(x1):int(x2)]
@@ -108,7 +118,11 @@ class SyntheticMultimodal(BaseDataset):
             # 8-mic log-mel stack — without it the audio modality carries
             # no vertical information and detection is unlearnable.
             audio[:, int(x1):int(x2), :] += 0.5
-            audio[sl] += 0.8
+            if row_scale == 1.0:  # full-size path: bit-identical to r1-r3
+                audio[sl] += 0.8
+            else:
+                audio[int(y1 * row_scale):int(np.ceil(y2 * row_scale)),
+                      int(x1):int(x2), :] += 0.8
 
         return {'rgb': rgb, 'thermal': thermal, 'depth': depth,
                 'audio': audio, 'label': boxes, 'id': self.ids[item]}

@@ -185,6 +185,15 @@ def compute_distill_losses(student_model, params, batch_stats,
 
     Returns (loss, aux) where aux carries new batch_stats and the scalar
     breakdown matching the reference's logged quantities."""
+    # Compact audio ingest (config device_audio_resize): the loader ships
+    # the spectrogram stack time-stretched only, (B, 80, S, M); the 80-mel
+    # axis is stretched to S here, on-device, where the bicubic matmul is
+    # ~free (ops/resize.py::stretch_mel_axis). Shape-static, so the
+    # standard full-size path compiles identically.
+    if batch[cfg.student_input].shape[-3] != cfg.pl.image_size:
+        from ..ops.resize import stretch_mel_axis
+        batch = {**batch, cfg.student_input: stretch_mel_axis(
+            batch[cfg.student_input], cfg.pl.image_size)}
     audio = batch[cfg.student_input]
     augment = cfg.audio_augmentation_merge and \
         'augmented' in cfg.train_method

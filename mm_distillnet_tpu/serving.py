@@ -84,6 +84,13 @@ def make_serving_fn(model, variables, image_size: int, *,
         class_validity_table(num_classes, list(valid_prediction_ids)))
 
     def predict(x: jnp.ndarray) -> Detections:
+        if x.shape[-3] != image_size:
+            # compact audio ingest: callers may ship the (B, 80, S, M)
+            # time-stretched spectrogram stack and pay 9.6x fewer infeed
+            # bytes; the mel axis is stretched here on-device
+            # (ops/resize.stretch_mel_axis, cv2-exact).
+            from .ops.resize import stretch_mel_axis
+            x = stretch_mel_axis(x, image_size)
         if quant_pack is not None:
             from .quant import quantized_apply
             out = quantized_apply(model, variables, quant_pack, x,
