@@ -17,6 +17,21 @@ import numpy as np
 from .base import BaseDataset, VOC_CLASSES
 
 
+def _cache_budget_bytes() -> int:
+    """Cache budget: half of currently-available host RAM (the loader's
+    ThreadPoolExecutor shares one cache, and a full-size D2@768 synthetic
+    epoch must leave room for collated batches + the jit runtime). Falls
+    back to a conservative 4 GiB if /proc/meminfo is unreadable."""
+    try:
+        with open('/proc/meminfo') as f:
+            for line in f:
+                if line.startswith('MemAvailable:'):
+                    return int(line.split()[1]) * 1024 // 2
+    except OSError:
+        pass
+    return 4 * 2 ** 30
+
+
 class SyntheticMultimodal(BaseDataset):
     classes = VOC_CLASSES
 
@@ -37,7 +52,7 @@ class SyntheticMultimodal(BaseDataset):
         est_bytes = self.num_images * self.image_size ** 2 * 15 * 4
         cache_on = config.getboolean('synthetic_cache', fallback=True)
         self._cache: Optional[Dict[int, Dict]] = \
-            {} if cache_on and est_bytes < 32 * 2 ** 30 else None
+            {} if cache_on and est_bytes < _cache_budget_bytes() else None
 
     def _boxes_for(self, rng: np.random.Generator, size: int) -> np.ndarray:
         n = rng.integers(1, 4)
@@ -73,12 +88,14 @@ class SyntheticMultimodal(BaseDataset):
         if self._cache is not None:
             hit = self._cache.get(item)
             if hit is not None:
-                return dict(hit)  # shallow copy; consumers never mutate
-                                  # the arrays in place (collate copies)
-        sample = self._generate(item)
-        if self._cache is not None:
+                return dict(hit)  # shallow dict copy; arrays are frozen
+            sample = self._generate(item)
+            for v in sample.values():  # freeze: an in-place transform on a
+                if isinstance(v, np.ndarray):  # cached array must raise, not
+                    v.flags.writeable = False  # corrupt all later epochs
             self._cache[item] = sample
-        return dict(sample)
+            return dict(sample)
+        return self._generate(item)
 
     def _generate(self, item: int) -> Dict:
         size = self.image_size

@@ -191,8 +191,8 @@ def compute_distill_losses(student_model, params, batch_stats,
     # ~free (ops/resize.py::stretch_mel_axis). Shape-static, so the
     # standard full-size path compiles identically.
     if batch[cfg.student_input].shape[-3] != cfg.pl.image_size:
-        from ..ops.resize import stretch_mel_axis
-        batch = {**batch, cfg.student_input: stretch_mel_axis(
+        from ..ops.resize import maybe_stretch_mel_axis
+        batch = {**batch, cfg.student_input: maybe_stretch_mel_axis(
             batch[cfg.student_input], cfg.pl.image_size)}
     audio = batch[cfg.student_input]
     augment = cfg.audio_augmentation_merge and \

@@ -84,9 +84,10 @@ def make_predict_fn(model, image_size: int, config, variables=None,
     def predict(variables, x, class_valid, pred_to_label):
         if x.shape[-3] != image_size:
             # compact audio ingest (config device_audio_resize): stretch
-            # the 80-mel axis on-device; see ops/resize.stretch_mel_axis
-            from .ops.resize import stretch_mel_axis
-            x = stretch_mel_axis(x, image_size)
+            # the 80-mel axis on-device; maybe_* raises loudly on heights
+            # that are neither image_size nor the 80 mel bins.
+            from .ops.resize import maybe_stretch_mel_axis
+            x = maybe_stretch_mel_axis(x, image_size)
         if quant_pack is not None:
             from .quant import quantized_apply
             out = quantized_apply(model, variables, quant_pack, x,
@@ -127,9 +128,9 @@ def make_fused_teacher_fn(teacher_models: Dict[str, Any], image_size: int,
     def fused(teacher_variables, batch, class_valid, pred_to_label):
         if 'audio' in batch and batch['audio'].shape[-3] != image_size:
             # compact audio ingest: only generator teachers consume audio
-            from .ops.resize import stretch_mel_axis
-            batch = {**batch,
-                     'audio': stretch_mel_axis(batch['audio'], image_size)}
+            from .ops.resize import maybe_stretch_mel_axis
+            batch = {**batch, 'audio': maybe_stretch_mel_axis(
+                batch['audio'], image_size)}
         per_teacher = []
         for modality, model in teacher_models.items():
             if hasattr(model, 'modalities'):
@@ -217,9 +218,9 @@ def evaluate(teacher_models: Dict[str, Tuple[Any, Any]],
                           for i in range(n_cal)])
         if calib.shape[-3] != image_size:
             # compact audio ingest: calibrate on what the model will see
-            from .ops.resize import stretch_mel_axis
-            calib = np.asarray(stretch_mel_axis(jnp.asarray(calib),
-                                                image_size))
+            from .ops.resize import maybe_stretch_mel_axis
+            calib = np.asarray(maybe_stretch_mel_axis(jnp.asarray(calib),
+                                                      image_size))
         quant_pack = build_quant_pack(s_module, s_vars, jnp.asarray(calib),
                                       [calib], train=False)
 

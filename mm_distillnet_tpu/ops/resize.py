@@ -90,3 +90,26 @@ def stretch_mel_axis(x: jnp.ndarray, out_h: int) -> jnp.ndarray:
     y = jnp.einsum('oh,...hwc->...owc', wy, x.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
+
+
+# The dataset mel frontend produces exactly this many mel bins
+# (reference src/utils/post_processing.py librosa n_mels=80); the compact
+# ingest ships (B, 80, S, M) stacks, so 80 is the ONLY height besides
+# image_size that a well-formed batch can carry.
+MEL_BINS = 80
+
+
+def maybe_stretch_mel_axis(x: jnp.ndarray, image_size: int) -> jnp.ndarray:
+    """Static-shape dispatch for the compact audio ingest: full-size
+    batches pass through untouched; (B, 80, S, M) compact stacks get the
+    on-device mel-axis stretch; anything else is a malformed batch and
+    raises at trace time rather than being silently resized."""
+    h = x.shape[-3]
+    if h == image_size:
+        return x
+    if h != MEL_BINS:
+        raise ValueError(
+            f'batch height {h} is neither image_size={image_size} nor the '
+            f'compact-ingest mel-bin count {MEL_BINS}; refusing to resize a '
+            f'malformed input (shape {x.shape})')
+    return stretch_mel_axis(x, image_size)

@@ -88,9 +88,10 @@ def make_serving_fn(model, variables, image_size: int, *,
             # compact audio ingest: callers may ship the (B, 80, S, M)
             # time-stretched spectrogram stack and pay 9.6x fewer infeed
             # bytes; the mel axis is stretched here on-device
-            # (ops/resize.stretch_mel_axis, cv2-exact).
-            from .ops.resize import stretch_mel_axis
-            x = stretch_mel_axis(x, image_size)
+            # (ops/resize.stretch_mel_axis, cv2-exact). maybe_* raises on
+            # heights that are neither image_size nor the 80 mel bins.
+            from .ops.resize import maybe_stretch_mel_axis
+            x = maybe_stretch_mel_axis(x, image_size)
         if quant_pack is not None:
             from .quant import quantized_apply
             out = quantized_apply(model, variables, quant_pack, x,
