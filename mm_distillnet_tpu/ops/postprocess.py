@@ -122,8 +122,20 @@ def postprocess_detections(classification: jnp.ndarray,
             cand_valid = top_biased >= bias
             top_packed = jnp.where(cand_valid, top_biased - bias, 0)
         else:
-            top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
-            cand_valid = top_packed >= 0
+            # Exact selection, but sorted in FLOAT space: the same
+            # order-preserving bias+bitcast the approx path uses (non-
+            # negative int32 + 2^23 bias -> normal f32, order preserved
+            # exactly), then an exact top_k over f32 — the TPU's sort
+            # lowering is measurably faster on f32 keys than on s32
+            # (BENCH_NOTES round 5 A/B). Bit-identical selections to a
+            # top_k over the packed ints.
+            bias = jnp.int32(1 << 23)
+            shifted = jnp.where(masked >= 0, masked + bias, 0)
+            as_f32 = jax.lax.bitcast_convert_type(shifted, jnp.float32)
+            top_f, top_idx = jax.lax.top_k(as_f32, num_candidates)
+            top_biased = jax.lax.bitcast_convert_type(top_f, jnp.int32)
+            cand_valid = top_biased >= bias
+            top_packed = jnp.where(cand_valid, top_biased - bias, 0)
         top_scores = (top_packed >> _CLASS_BITS).astype(jnp.float32) / \
             float(1 << _SCORE_BITS)
         top_scores = jnp.where(cand_valid, top_scores, NEG_INF)

@@ -27,6 +27,95 @@ def _ckpt_dir(config, name: str, rank: int) -> str:
     return os.path.abspath(os.path.join(exp_name, f'{name}.{rank}'))
 
 
+def _remove_any(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
+def _npz_save(path: str, payload) -> None:
+    """Per-rank LOCAL save as one flat .npz file — the direct analogue of
+    the reference's per-rank `torch.save(checkpoint, 'checkpoint.{rank}')`
+    (train_methods.py:1239-1254). Keys are jax keystr paths; atomic via
+    tmp-file + rename."""
+    if os.path.isdir(path):  # a prior single-process (orbax dir) save
+        shutil.rmtree(path)
+    flat, _ = jax.tree_util.tree_flatten_with_path(payload)
+    arrays = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat}
+    tmp = path + '.tmp-npz'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def _npz_restore(path: str, template):
+    """Restore a _npz_save file into the template's tree structure; a
+    missing or extra key is a loud structure-mismatch error."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    with np.load(path, allow_pickle=False) as z:
+        want = [jax.tree_util.keystr(p) for p, _ in flat]
+        have = set(z.files)
+        if set(want) != have:
+            raise ValueError(
+                f'checkpoint structure mismatch at {path}: '
+                f'missing={sorted(set(want) - have)} '
+                f'unexpected={sorted(have - set(want))}')
+        restored = [z[k] for k in want]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def _npz_restore_dicts(path: str, roots=('params', 'batch_stats')):
+    """Template-free restore of pure nested-dict subtrees (params /
+    batch_stats) from a _npz_save file, rebuilding the nesting from the
+    keystr paths (e.g. "['params']['backbone']['conv']['kernel']")."""
+    import re
+    out = {}
+    with np.load(path, allow_pickle=False) as z:
+        for key in z.files:
+            parts = re.findall(r"\['([^']+)'\]", key)
+            if not parts or parts[0] not in roots:
+                continue
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
+def _multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def _orbax_save(path: str, payload) -> None:
+    ckptr = ocp.StandardCheckpointer()
+    _remove_any(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+
+
+def _restore_any(path: str, template=None):
+    """Restore either on-disk format: an orbax directory (single-process
+    saves, incl. checkpoints from older builds) or a per-rank .npz file
+    (multi-process saves).
+
+    Why two formats: per-rank saves in a multi-process world CANNOT go
+    through orbax in this environment — its StandardCheckpointer treats a
+    save as one logical multi-host checkpoint (async commit futures wait
+    on global `awaitable_signals_contract_*` keys, and NumpyHandler
+    hard-codes `if multihost.process_index() == 0` around the actual
+    write), so a rank>0 local save either deadlocks or commits an empty
+    checkpoint — both measured in the 2-process contract test. The .npz
+    file mirrors the reference's per-rank torch.save exactly."""
+    if os.path.isfile(path):
+        assert template is not None, \
+            'npz checkpoints require a template for structure checking'
+        return _npz_restore(path, template)
+    ckptr = ocp.StandardCheckpointer()
+    return (ckptr.restore(path, template) if template is not None
+            else ckptr.restore(path))
+
+
 def save_checkpoint(config, state: TrainState, epoch: int, best_loss: float,
                     best_epoch: int, scheduler_state: Dict[str, Any],
                     rank: int = 0, is_best: bool = False) -> str:
@@ -42,11 +131,18 @@ def save_checkpoint(config, state: TrainState, epoch: int, best_loss: float,
                       for k, v in scheduler_state.items()},
     }
     path = _ckpt_dir(config, 'checkpoint', rank)
-    ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
-    ckptr.wait_until_finished()
+    ponly_payload = {'params': payload['params'],
+                     'batch_stats': payload['batch_stats']}
+    if _multiprocess():
+        _npz_save(path, payload)
+        if is_best:
+            best = _ckpt_dir(config, 'best', rank)
+            _remove_any(best)
+            shutil.copyfile(path, best)
+            _npz_save(_ckpt_dir(config, 'only_parameters_student_best',
+                                rank), ponly_payload)
+        return path
+    _orbax_save(path, payload)
     if is_best:
         best = _ckpt_dir(config, 'best', rank)
         if os.path.exists(best):
@@ -56,11 +152,7 @@ def save_checkpoint(config, state: TrainState, epoch: int, best_loss: float,
         ponly = _ckpt_dir(config, 'only_parameters_student_best', rank)
         if os.path.exists(ponly):
             shutil.rmtree(ponly)
-        p_ckptr = ocp.StandardCheckpointer()
-        p_ckptr.save(ponly, {
-            'params': payload['params'],
-            'batch_stats': payload['batch_stats']})
-        p_ckptr.wait_until_finished()
+        _orbax_save(ponly, ponly_payload)
     return path
 
 
@@ -84,8 +176,7 @@ def restore_checkpoint(config, state: TrainState, scheduler,
         'scheduler': {k: np.asarray(v)
                       for k, v in scheduler.state_dict().items()},
     }
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, template)
+    restored = _restore_any(path, template)
     new_state = TrainState(
         step=jax.numpy.asarray(restored['step']),
         params=restored['params'],
@@ -107,7 +198,11 @@ def load_student_params(config, rank: int = 0, name: str = 'best'):
     path = _ckpt_dir(config, name, rank)
     if not os.path.exists(path):
         return None
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
+    if os.path.isfile(path):
+        # npz (multi-process per-rank) format: params/batch_stats are
+        # pure nested dicts, rebuildable from the keystr paths
+        restored = _npz_restore_dicts(path)
+    else:
+        restored = ocp.StandardCheckpointer().restore(path)
     return {'params': restored['params'],
             'batch_stats': restored['batch_stats']}

@@ -90,12 +90,20 @@ def _recalibrate(model, state, dataset, input_key, batch, sweeps=4):
     from mm_distillnet_tpu.train.bn_recalibration import \
         recalibrate_batch_stats
 
+    from mm_distillnet_tpu.ops.resize import maybe_stretch_mel_axis
+
     n = len(dataset.ids)
+    size = dataset.image_size
     batches = []
     for _ in range(sweeps):
         for start in range(0, n - batch + 1, batch):
             samples = [dataset[i] for i in range(start, start + batch)]
-            batches.append(jnp.asarray(collate(samples, 16)[input_key]))
+            x = jnp.asarray(collate(samples, 16)[input_key])
+            if x.shape[-3] != size:
+                # compact audio ingest: BN stats must be estimated on what
+                # the model actually sees — the stretched input
+                x = maybe_stretch_mel_axis(x, size)
+            batches.append(x)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     return recalibrate_batch_stats(model, variables, batches)
 

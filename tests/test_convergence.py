@@ -56,7 +56,12 @@ def test_loss_decreases_under_training():
     ds = SyntheticMultimodal(config, 'train')
     batch = collate([ds[i] for i in range(batch_n)], 16)
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'id'}
-    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
+    # Test-tiny profile (same topology, fewer/narrower blocks): the
+    # LEARNING-DYNAMICS claim is capacity-independent here, and the full
+    # D0/D2 training trajectory is proven by the recorded convergence runs
+    # (scripts/convergence*.py, BENCH_NOTES.md).
+    model = EfficientDet(num_classes=20, compound_coef=-1,
+                         dtype=jnp.float32)
     tx = build_optimizer(config)
     state = init_train_state(model, jax.random.PRNGKey(0), batch['rgb'], tx)
     cfg = DistillConfig(train_method='traditional', use_labels=True,

@@ -22,10 +22,12 @@ def test_b2_block_expansion():
 
 
 def test_backbone_pyramid_shapes():
+    # Shape-only: jax.eval_shape traces without compiling or executing —
+    # the D2 backbone's numerics are pinned by the torch-parity suite.
     model = EfficientNetFeatures(compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
     params = fast_init(model, 0, x)
-    feats = model.apply(params, x)
+    feats = jax.eval_shape(model.apply, params, x)
     # [P2, P3, P4, P5] at strides 4, 8, 16, 32
     assert [f.shape for f in feats] == [
         (1, 32, 32, 24), (1, 16, 16, 48), (1, 8, 8, 120), (1, 4, 4, 352)]
@@ -44,11 +46,13 @@ def test_anchor_table_counts():
 
 @pytest.mark.parametrize('in_ch', [1, 8])
 def test_efficientdet_forward_shapes(in_ch):
+    # Shape-only via jax.eval_shape (no compile/execute): real-coefficient
+    # D2 numerics are pinned by test_reference_parity.py.
     size = 128
     model = EfficientDet(num_classes=20, compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((2, size, size, in_ch))
     variables = fast_init(model, 0, x)
-    out = model.apply(variables, x)
+    out = jax.eval_shape(model.apply, variables, x)
     n = num_anchors(size)
     assert out.classification.shape == (2, n, 20)
     assert out.regression.shape == (2, n, 4)
@@ -56,13 +60,24 @@ def test_efficientdet_forward_shapes(in_ch):
     assert [f.shape[1] for f in out.features] == [16, 8, 4, 2, 1]
     assert all(f.shape[-1] == 112 for f in out.features)
     assert out.align_features.shape == (2, 1, 1, 224)
-    # sigmoid output range
+
+
+def test_efficientdet_classification_is_sigmoid_range():
+    # The one VALUE assertion the shape tests used to carry, on the
+    # test-tiny profile (the sigmoid head is coefficient-independent).
+    model = EfficientDet(num_classes=20, compound_coef=-1,
+                         dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 8))
+    variables = fast_init(model, 0, x)
+    out = model.apply(variables, x)
     assert float(out.classification.min()) >= 0.0
     assert float(out.classification.max()) <= 1.0
 
 
 def test_batchnorm_stats_update_in_train_mode():
-    model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
+    # Test-tiny profile: BN running-stat update semantics are
+    # coefficient-independent (same BatchNorm modules, fewer blocks).
+    model = EfficientDet(num_classes=4, compound_coef=-1, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 3))
     variables = fast_init(model, 0, x)
     out, mutated = model.apply(
@@ -88,7 +103,10 @@ def test_generator_integration_modes():
                                   num_classes=4, compound_coef=0,
                                   integration_mode=mode, dtype=jnp.float32)
         v = fast_init(m, 0, inputs)
-        out = m.apply(v, inputs)
+        # Shape-only via eval_shape; generator VALUE behavior (zeroout
+        # averaging, switch selection, distill step) is pinned by
+        # test_generator_wiring.py.
+        out = jax.eval_shape(m.apply, v, inputs)
         n = num_anchors(128)
         assert out.classification.shape == (1, n, 4)
         assert out.features[0].shape[-1] == width

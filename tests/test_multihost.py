@@ -35,20 +35,28 @@ def _worker_env(addr: str, pid: int, nprocs: int = 2) -> dict:
 
 
 @pytest.mark.slow
-def test_two_process_train_contract():
+def test_two_process_train_contract(tmp_path):
     """2 processes come up via distributed_init_if_needed, shard the
-    loader disjointly, and the sharded SGD step's gradient all-reduce
-    crosses the process boundary (asserted inside the workers)."""
+    loader disjointly, the sharded SGD step's gradient all-reduce crosses
+    the process boundary, each rank round-trips its per-rank checkpoint,
+    and one eval batch sharded over the global mesh matches the
+    single-device predictor (all asserted inside the workers)."""
     addr = f'127.0.0.1:{_free_port()}'
+
+    def env_for(pid):
+        env = _worker_env(addr, pid)
+        env['MMDT_MH_DIR'] = str(tmp_path)
+        return env
+
     procs = [subprocess.Popen([sys.executable, WORKER],
-                              env=_worker_env(addr, pid),
+                              env=env_for(pid),
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for pid in range(2)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -56,7 +64,9 @@ def test_two_process_train_contract():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {pid} failed:\n{out[-3000:]}'
-        assert f'MULTIHOST_OK pid={pid}' in out, out[-3000:]
+        for marker in ('MULTIHOST_CKPT_OK', 'MULTIHOST_EVAL_OK',
+                       'MULTIHOST_OK'):
+            assert f'{marker} pid={pid}' in out, (marker, out[-3000:])
 
 
 def test_configured_but_unreachable_coordinator_fails_loudly():
