@@ -34,10 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def test_loss_decreases_under_training():
     """30 supervised full-batch steps cut the total loss by >40% on the
-    planted rectangles (measured trajectory: 1158 -> 554; reference
-    equivalent: train() epoch loss going down, reference train.py:209-261).
-    Strictly stronger than the loss-finite/params-changed checks in
-    test_train_step.py."""
+    planted rectangles (test-tiny profile at lr 5e-3, measured trajectory
+    1096 -> 273; reference equivalent: train() epoch loss going down,
+    reference train.py:209-261). Strictly stronger than the
+    loss-finite/params-changed checks in test_train_step.py."""
     from mm_distillnet_tpu.config import default_config
     from mm_distillnet_tpu.data.loader import collate
     from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
@@ -52,7 +52,7 @@ def test_loss_decreases_under_training():
 
     size, batch_n = 128, 4
     config = default_config(image_size=size, synthetic_size=batch_n,
-                            lr='1e-3', optimizer='Adam')
+                            lr='5e-3', optimizer='Adam')
     ds = SyntheticMultimodal(config, 'train')
     batch = collate([ds[i] for i in range(batch_n)], 16)
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'id'}
