@@ -16,6 +16,7 @@ from mm_distillnet_tpu.data.loader import DataLoader, collate
 from mm_distillnet_tpu.data.synthetic import SyntheticMultimodal
 from mm_distillnet_tpu.data.transforms import Normalizer, Resizer
 from mm_distillnet_tpu.models.efficientdet import EfficientDet
+from .helpers import fast_init
 from mm_distillnet_tpu.models.stereosoundnet import (StereoSoundNet,
                                                      space_to_depth_2x)
 
@@ -118,7 +119,7 @@ def test_convert_full_model_roundtrip():
     model = EfficientDet(num_classes=4, compound_coef=2, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
     variables = jax.tree_util.tree_map(np.asarray,
-                                       model.init(jax.random.PRNGKey(0), x))
+                                       fast_init(model, 0, x))
     # build torch-side tensors by inverting the conversion transpose
     sd = {}
     for coll in variables:
@@ -177,8 +178,7 @@ def test_torch_checkpoint_tar_format_roundtrip(tmp_path):
     from mm_distillnet_tpu.models.registry import maybe_load_checkpoint
     model = EfficientDet(num_classes=4, compound_coef=0, dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
-    variables = jax.tree_util.tree_map(
-        np.asarray, jax.jit(model.init)(jax.random.PRNGKey(0), x))
+    variables = jax.tree_util.tree_map(np.asarray, fast_init(model, 0, x))
     from mm_distillnet_tpu.convert.torch_weights import _torch_key_for
     sd = {}
     for coll in variables:
@@ -211,9 +211,9 @@ def test_refine_ids_prunes_by_teacher_confidence(tmp_path):
                             valid_labels=','.join(
                                 ['car', 'person', 'bus']))
     ds = SyntheticMultimodal(config, 'train')
-    model = EfficientDet(num_classes=20, compound_coef=0, dtype=jnp.float32)
-    v = jax.jit(model.init)(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 128, 128, 3)))
+    model = EfficientDet(num_classes=20, compound_coef=-1,
+                         dtype=jnp.float32)
+    v = fast_init(model, 0, jnp.zeros((1, 128, 128, 3)))
     n_before = len(ds)
     ds.refine_ids((model, v), config)
     csv = os.path.join(str(tmp_path),
