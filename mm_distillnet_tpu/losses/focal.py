@@ -45,6 +45,13 @@ SMOOTH_L1_BETA = 1.0 / 9.0
 # Precision of the one-hot GT-assignment contraction (module-level so perf
 # A/B harnesses can toggle it; see scripts/ab_focal_step.py).
 ASSIGN_PRECISION = jax.lax.Precision.HIGHEST
+# Compute dtype of the dense (C, N) classification chain (the train step's
+# largest non-conv phase: ~27 ms of the 59.8 ms fused step at batch 8 is
+# transcendental-bound focal work, BENCH_NOTES round 2). bfloat16 doubles
+# VPU element throughput; the reduction accumulates in fp32 either way.
+# Default fp32 = reference parity; toggled by scripts/ab_focal_step.py and
+# (if the TPU A/B wins) by config focal_dtype.
+CLS_COMPUTE_DTYPE = jnp.float32
 
 
 def _pow_gamma(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,21 +97,24 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     # graph, not the transcendental count, decides. The logit path stays
     # available (select-first softplus form, 65.7 ms) for callers without
     # sigmoid outputs; the shipped train step passes probabilities.
+    cdt = CLS_COMPUTE_DTYPE
     if from_logits:
-        x = jnp.clip(classification.T, -LOGIT_CLAMP, LOGIT_CLAMP)  # (C, N)
+        x = jnp.clip(classification.T, -LOGIT_CLAMP,
+                     LOGIT_CLAMP).astype(cdt)                      # (C, N)
     else:
-        p = jnp.clip(classification.T, CLS_CLAMP, 1.0 - CLS_CLAMP)
+        p = jnp.clip(classification.T, CLS_CLAMP,
+                     1.0 - CLS_CLAMP).astype(cdt)
 
     # ---- negatives-only branch (image with no annotations): all-targets-
     # zero term over every anchor/class, (1-a) * p^g * -log(1-p).
     # In logit space -log(1-p) = softplus(x) and p = sigmoid(x).
     if from_logits:
-        neg_only_cls = jnp.sum((1.0 - ALPHA) *
-                               _pow_gamma(jax.nn.sigmoid(x)) *
-                               jax.nn.softplus(x))
+        neg_only_cls = jnp.sum(((1.0 - ALPHA) *
+                                _pow_gamma(jax.nn.sigmoid(x)) *
+                                jax.nn.softplus(x)).astype(jnp.float32))
     else:
-        neg_only_cls = jnp.sum((1.0 - ALPHA) * _pow_gamma(p) *
-                               (-jnp.log(1.0 - p)))
+        neg_only_cls = jnp.sum(((1.0 - ALPHA) * _pow_gamma(p) *
+                                (-jnp.log(1.0 - p))).astype(jnp.float32))
 
     # ---- full branch ----
     iou = iou_anchors_vs_gt(anchors, annotations[:, :4])    # (N, G)
@@ -137,7 +147,8 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
     class_iota = jnp.arange(num_classes, dtype=jnp.int32)[:, None]  # (C, 1)
     target_is_one = positive[None, :] & (labels[None, :] == class_iota)
     care = (positive | negative)[None, :]
-    alpha_factor = jnp.where(target_is_one, ALPHA, 1.0 - ALPHA)
+    alpha_factor = jnp.where(target_is_one, jnp.asarray(ALPHA, cdt),
+                             jnp.asarray(1.0 - ALPHA, cdt))
 
     if from_logits:
         # q = where(t, sigmoid(x), sigmoid(-x)) = sigmoid(-y), y=where(t,-x,x)
@@ -146,12 +157,17 @@ def _per_image_loss(classification: jnp.ndarray, regression: jnp.ndarray,
         cls_each = alpha_factor * _pow_gamma(jax.nn.sigmoid(y)) * \
             jax.nn.softplus(y)
     else:
-        targets = jnp.where(target_is_one, 1.0, 0.0)           # (C, N)
+        targets = jnp.where(target_is_one, jnp.asarray(1.0, cdt),
+                            jnp.asarray(0.0, cdt))             # (C, N)
         focal_weight = jnp.where(target_is_one, 1.0 - p, p)
         bce = -(targets * jnp.log(p) +
                 (1.0 - targets) * jnp.log(1.0 - p))
         cls_each = alpha_factor * _pow_gamma(focal_weight) * bce
-    cls_loss_full = jnp.sum(jnp.where(care, cls_each, 0.0))
+    # fp32 accumulation regardless of the chain dtype (the convert fuses
+    # into the reduce)
+    cls_loss_full = jnp.sum(jnp.where(care, cls_each,
+                                      jnp.asarray(0.0, cdt)
+                                      ).astype(jnp.float32))
     cls_loss_full = cls_loss_full / \
         jnp.clip(num_pos.astype(jnp.float32), min=1.0)
 

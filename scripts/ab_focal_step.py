@@ -101,9 +101,11 @@ def _per_image_loss_r2(classification, regression, annotations, anchors,
 _REAL_PER_IMAGE = F._per_image_loss
 
 
-def time_variant(use_logits: bool, highest: bool, r2_body: bool = False):
+def time_variant(use_logits: bool, highest: bool, r2_body: bool = False,
+                 cls_dtype=jnp.float32):
     F.ASSIGN_PRECISION = (jax.lax.Precision.HIGHEST if highest
                           else jax.lax.Precision.DEFAULT)
+    F.CLS_COMPUTE_DTYPE = cls_dtype
     F._per_image_loss = _per_image_loss_r2 if r2_body else _REAL_PER_IMAGE
     # Flip the trace-time hook in train_step — the step's focal call sites
     # route through TS._student_focal, which reads this module global.
@@ -123,8 +125,8 @@ def time_variant(use_logits: bool, highest: bool, r2_body: bool = False):
 
     t = device_time(full, (state, t_vars, batch), iters=ITERS)
     row = {'logits': use_logits, 'assign_highest': highest,
-           'r2_body': r2_body, 'ms': round(t * 1000, 1),
-           'fps': round(BATCH / t, 1)}
+           'r2_body': r2_body, 'cls_dtype': jnp.dtype(cls_dtype).name,
+           'ms': round(t * 1000, 1), 'fps': round(BATCH / t, 1)}
     print(json.dumps(row), flush=True)
     return row
 
@@ -134,14 +136,22 @@ def main():
     if only == 'r2':
         time_variant(False, False, r2_body=True)
         return
+    if only == 'bf16':
+        # Round-5 experiment (VERDICT item 4): the dense (C, N)
+        # classification chain in bfloat16 (fp32 accumulation) — doubles
+        # VPU element throughput on the transcendental-bound focal phase.
+        time_variant(False, True, cls_dtype=jnp.float32)
+        time_variant(False, True, cls_dtype=jnp.bfloat16)
+        return
     rows = [time_variant(lg, hp)
             for lg in (True, False) for hp in (True, False)]
     rows.append(time_variant(False, False, r2_body=True))
-    print('\n| logits | HIGHEST assign | r2 body | ms | fps |')
-    print('|---|---|---|---|---|')
+    rows.append(time_variant(False, True, cls_dtype=jnp.bfloat16))
+    print('\n| logits | HIGHEST assign | r2 body | cls dtype | ms | fps |')
+    print('|---|---|---|---|---|---|')
     for r in rows:
         print(f"| {r['logits']} | {r['assign_highest']} | {r['r2_body']} "
-              f"| {r['ms']} | {r['fps']} |")
+              f"| {r['cls_dtype']} | {r['ms']} | {r['fps']} |")
 
 
 if __name__ == '__main__':
