@@ -53,7 +53,7 @@ _CLASS_BITS = 5  # up to 32 classes packed below the quantized score
 
 @functools.partial(jax.jit, static_argnames=(
     'image_size', 'conf_threshold', 'nms_threshold', 'num_candidates',
-    'max_detections', 'fast', 'approx'))
+    'max_detections', 'fast', 'approx', 'int_topk'))
 def postprocess_detections(classification: jnp.ndarray,
                            regression: jnp.ndarray,
                            anchors: jnp.ndarray,
@@ -65,7 +65,8 @@ def postprocess_detections(classification: jnp.ndarray,
                            num_candidates: int = 512,
                            max_detections: int = 100,
                            fast: bool = True,
-                           approx: bool = False) -> Detections:
+                           approx: bool = False,
+                           int_topk: bool = False) -> Detections:
     """classification (B, N, C) sigmoid scores; regression (B, N, 4);
     anchors (N, 4) [y1,x1,y2,x2]; class_valid (C,) bool LUT.
 
@@ -121,14 +122,18 @@ def postprocess_detections(classification: jnp.ndarray,
             top_biased = jax.lax.bitcast_convert_type(top_f, jnp.int32)
             cand_valid = top_biased >= bias
             top_packed = jnp.where(cand_valid, top_biased - bias, 0)
+        elif int_topk:
+            # the round-2..4 exact selection: top_k directly over the
+            # packed int32 (kept as the A/B reference, scripts/ab_topk.py)
+            top_packed, top_idx = jax.lax.top_k(masked, num_candidates)
+            cand_valid = top_packed >= 0
         else:
             # Exact selection, but sorted in FLOAT space: the same
             # order-preserving bias+bitcast the approx path uses (non-
             # negative int32 + 2^23 bias -> normal f32, order preserved
-            # exactly), then an exact top_k over f32 — the TPU's sort
-            # lowering is measurably faster on f32 keys than on s32
-            # (BENCH_NOTES round 5 A/B). Bit-identical selections to a
-            # top_k over the packed ints.
+            # exactly), then an exact top_k over f32 — selections stay
+            # bit-identical to the int top_k while the TPU sorts f32 keys
+            # faster (A/B: scripts/ab_topk.py; BENCH_NOTES round 5).
             bias = jnp.int32(1 << 23)
             shifted = jnp.where(masked >= 0, masked + bias, 0)
             as_f32 = jax.lax.bitcast_convert_type(shifted, jnp.float32)

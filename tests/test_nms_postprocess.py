@@ -133,6 +133,31 @@ def test_postprocess_approx_topk_recovers_exact_detections():
         assert recall >= 0.9, (recall, b)
 
 
+def test_postprocess_f32_sort_is_bit_identical_to_int_sort():
+    """The round-5 default exact selection (order-preserving bias+bitcast,
+    top_k over f32) must produce BIT-IDENTICAL detections to the int32
+    top_k it replaced (int_topk=True), including tie handling — dense
+    random scores with deliberate duplicated values."""
+    size = 128
+    anchors = anchor_table(size)
+    n, c = anchors.shape[0], 20
+    rng = np.random.default_rng(5)
+    cls = rng.uniform(0.0, 1.0, size=(2, n, c)).astype(np.float32)
+    cls[0, 100:200] = cls[0, 300:400]  # exact duplicate packed values
+    reg = rng.normal(0, 0.1, size=(2, n, 4)).astype(np.float32)
+    table = class_validity_table(c, valid_prediction_ids=list(range(c)))
+    kwargs = dict(image_size=size, conf_threshold=0.3, nms_threshold=0.5,
+                  num_candidates=64, max_detections=16)
+    f32 = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), **kwargs)
+    i32 = postprocess_detections(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(table), int_topk=True, **kwargs)
+    for a, b in zip(f32, i32):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_postprocess_approx_topk_low_conf_threshold():
     """conf_threshold < 2^-6 used to pack survivors to int32 values below
     2^23, whose f32 bitcast is SUBNORMAL — flushed to zero inside the
