@@ -11,7 +11,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, 'tests', 'multihost_worker.py')
@@ -34,7 +33,6 @@ def _worker_env(addr: str, pid: int, nprocs: int = 2) -> dict:
     return env
 
 
-@pytest.mark.slow
 def test_two_process_train_contract(tmp_path):
     """2 processes come up via distributed_init_if_needed, shard the
     loader disjointly, the sharded SGD step's gradient all-reduce crosses
