@@ -25,8 +25,21 @@ def setup_run_logging(config, rank: int = 0) -> logging.Logger:
     # exp_name may itself contain a path separator (the pretrain stage runs
     # under '{exp_name}/pretrain'); create the full parent chain.
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # One per-rank file at a time: harnesses that drive several runs in a
+    # single process (convergence_shipped trains 3 teachers sequentially)
+    # would otherwise accumulate handlers and spray every later run's
+    # records into every earlier run's log file. The reference never hits
+    # this (one run per process, train.py:283-292); drop+close handlers
+    # that point at a DIFFERENT run file, keep an existing one for the
+    # same path (trainer + eval sharing an exp_name stay appending).
+    abspath = os.path.abspath(path)
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler) and \
+                getattr(h, 'baseFilename', '') != abspath:
+            logger.removeHandler(h)
+            h.close()
     if not any(isinstance(h, logging.FileHandler) and
-               getattr(h, 'baseFilename', '') == os.path.abspath(path)
+               getattr(h, 'baseFilename', '') == abspath
                for h in logger.handlers):
         fh = logging.FileHandler(path)
         fh.setLevel(logging.DEBUG)
