@@ -83,23 +83,65 @@ _TRANSFER_KEYS = ('rgb', 'thermal', 'depth', 'audio')
 
 
 def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int,
-                  transfer_dtype=None):
+                  transfer_dtype=None, cache: Optional[dict] = None):
+    """Host->device copy of one batch, with an optional epoch-invariant
+    reuse cache.
+
+    cache maps key -> (host_array, device_array). When the incoming host
+    array is BYTE-IDENTICAL to the cached one, the cached device array is
+    reused and no cast/pad/transfer happens — numerics are exactly
+    unchanged (the step does not donate or mutate batch arguments). This
+    matters on the axon relay: full-batch runs re-ship identical
+    modalities every epoch (only mixed audio/labels change), and each
+    70-130 MB re-transfer both pays relay bandwidth and leaks client-side
+    buffer mirrors (~170 MB RSS/epoch measured at D2 @768, round 5) —
+    with the cache, steady-state epochs ship only what changed.
+
+    One slot per key: retention is bounded at a single batch regardless of
+    dataset size. Reuse therefore engages on full-batch (1-iteration)
+    epochs — the convergence harnesses' shape; shuffled multi-batch
+    epochs miss (np.array_equal exits on the first differing byte) and
+    behave as before.
+    """
     arrays = {k: v for k, v in batch.items() if k != 'id'}
+    reused = {}
+    fresh = {}
+    for k, v in arrays.items():
+        if cache is not None:
+            hit = cache.get(k)
+            if hit is not None and hit[0].shape == v.shape and \
+                    hit[0].dtype == v.dtype and np.array_equal(hit[0], v):
+                reused[k] = hit[1]
+                continue
+        fresh[k] = v
     if transfer_dtype is not None:
-        arrays = {k: (v.astype(transfer_dtype)
-                      if k in _TRANSFER_KEYS else v)
-                  for k, v in arrays.items()}
-    arrays, orig = pad_batch_to_devices(arrays, n_dev)
-    return shard_batch(mesh, arrays), orig
+        fresh = {k: (v.astype(transfer_dtype)
+                     if k in _TRANSFER_KEYS else v)
+                 for k, v in fresh.items()}
+    orig = next(iter(arrays.values())).shape[0]
+    if fresh:
+        fresh_padded, orig = pad_batch_to_devices(fresh, n_dev)
+        fresh_dev = shard_batch(mesh, fresh_padded)
+    else:
+        fresh_dev = {}
+    if cache is not None:
+        for k, d in fresh_dev.items():
+            cache[k] = (arrays[k], d)
+    out = dict(reused)
+    out.update(fresh_dev)
+    return out, orig
 
 
-def _device_lookahead(gen, mesh, n_dev, transfer_dtype):
+def _device_lookahead(gen, mesh, n_dev, transfer_dtype, cache=None):
     """One-batch transfer pipeline: dispatch the (async) host->device copy
     of batch k+1 before the caller consumes batch k, so the infeed overlaps
-    the previous step's execution. Yields (it, host_batch, dev_batch)."""
+    the previous step's execution. Yields (it, host_batch, dev_batch).
+
+    `cache` (see _device_batch) must be owned by the CALLER so reuse
+    spans epochs — the lookahead itself is rebuilt every epoch."""
     prev = None
     for it, host in gen:
-        dev = _device_batch(host, mesh, n_dev, transfer_dtype)
+        dev = _device_batch(host, mesh, n_dev, transfer_dtype, cache)
         if prev is not None:
             yield prev
         prev = (it, host, dev)
@@ -240,11 +282,16 @@ def train(teacher_models: Dict[str, Tuple[Any, Any]],
             yield it, batch
 
     epoch_loss = float(np.inf)
+    # Epoch-invariant device-batch reuse (config escape hatch:
+    # device_batch_cache=False restores the ship-every-epoch behavior).
+    transfer_cache = ({} if config.getboolean('device_batch_cache',
+                                              fallback=True) else None)
     for epoch in range(start_epoch, num_epoches):
         loader.set_epoch(epoch)
         t_epoch = time.time()
         for it, _host, dev_batch in _device_lookahead(
-                _host_batches(epoch), mesh, n_dev, transfer_dtype):
+                _host_batches(epoch), mesh, n_dev, transfer_dtype,
+                transfer_cache):
             dev_batch, _ = dev_batch
             state, metrics = train_step(state, t_vars, dev_batch, rng)
             if it % 10 == 0 or it == num_iter - 1:
