@@ -82,38 +82,71 @@ def _label_tables(dataset, num_classes: int):
 _TRANSFER_KEYS = ('rgb', 'thermal', 'depth', 'audio')
 
 
+def _row_permutation(prev_ids, ids):
+    """Mapping p with new_row[r] == prev_row[p[r]] by sample id, or None
+    (different id sets, duplicates, or missing ids)."""
+    if prev_ids is None or ids is None or len(prev_ids) != len(ids):
+        return None
+    index_of = {}
+    for i, pid in enumerate(prev_ids):
+        if pid in index_of:
+            return None
+        index_of[pid] = i
+    try:
+        return [index_of[i] for i in ids]
+    except KeyError:
+        return None
+
+
 def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int,
                   transfer_dtype=None, cache: Optional[dict] = None):
     """Host->device copy of one batch, with an optional epoch-invariant
     reuse cache.
 
-    cache maps key -> (host_array, device_array). When the incoming host
-    array is BYTE-IDENTICAL to the cached one, the cached device array is
-    reused and no cast/pad/transfer happens — numerics are exactly
-    unchanged (the step does not donate or mutate batch arguments). This
-    matters on the axon relay: full-batch runs re-ship identical
-    modalities every epoch (only mixed audio/labels change), and each
-    70-130 MB re-transfer both pays relay bandwidth and leaks client-side
-    buffer mirrors (~170 MB RSS/epoch measured at D2 @768, round 5) —
-    with the cache, steady-state epochs ship only what changed.
+    cache maps key -> (host_array, device_array, ids). Two reuse tiers,
+    both byte-equality gated so numerics are exactly unchanged (the step
+    does not donate or mutate batch arguments):
 
-    One slot per key: retention is bounded at a single batch regardless of
-    dataset size. Reuse therefore engages on full-batch (1-iteration)
-    epochs — the convergence harnesses' shape; shuffled multi-batch
-    epochs miss (np.array_equal exits on the first differing byte) and
-    behave as before.
+      1. identical bytes -> reuse the cached device array outright;
+      2. the new batch is a row PERMUTATION of the cached one (same
+         sample ids, per-row bytes equal — the shuffled-loader epoch
+         over a fixed dataset) -> apply the permutation ON DEVICE
+         (gather + reshard), shipping only the index vector.
+
+    This matters on the axon relay: full-batch runs re-ship the same
+    70-130 MB of modality tensors every epoch in a fresh shuffle order,
+    paying scarce relay bandwidth AND leaking client-side buffer mirrors
+    (~170 MB RSS/epoch measured at D2 @768, round 5; epoch walls degraded
+    6 -> 39 s). With the cache, steady-state epochs ship only genuinely
+    new bytes (e.g. kdlist-mixed audio and its labels).
+
+    One slot per key bounds retention at a single batch regardless of
+    dataset size; multi-iteration shuffled epochs simply miss (the
+    per-row np.array_equal exits on the first differing byte).
     """
     arrays = {k: v for k, v in batch.items() if k != 'id'}
+    ids = tuple(batch['id']) if 'id' in batch else None
     reused = {}
     fresh = {}
     for k, v in arrays.items():
-        if cache is not None:
-            hit = cache.get(k)
-            if hit is not None and hit[0].shape == v.shape and \
-                    hit[0].dtype == v.dtype and np.array_equal(hit[0], v):
-                reused[k] = hit[1]
+        hit = cache.get(k) if cache is not None else None
+        if hit is not None and hit[0].shape == v.shape and \
+                hit[0].dtype == v.dtype:
+            prev_host, prev_dev, prev_ids = hit
+            if np.array_equal(prev_host, v):
+                reused[k] = prev_dev
                 continue
+            perm = _row_permutation(prev_ids, ids)
+            if perm is not None and all(
+                    np.array_equal(prev_host[p], v[r])
+                    for r, p in enumerate(perm)):
+                pad = prev_dev.shape[0] - len(perm)
+                pperm = np.asarray(perm + [perm[-1]] * pad, np.int32)
+                # device-side gather, then re-put onto the batch sharding
+                reused[k] = shard_batch(mesh, prev_dev[pperm])
+                continue  # cache stays canonical (first-seen order)
         fresh[k] = v
+    host_fresh = dict(fresh)
     if transfer_dtype is not None:
         fresh = {k: (v.astype(transfer_dtype)
                      if k in _TRANSFER_KEYS else v)
@@ -126,7 +159,7 @@ def _device_batch(batch: Dict[str, np.ndarray], mesh, n_dev: int,
         fresh_dev = {}
     if cache is not None:
         for k, d in fresh_dev.items():
-            cache[k] = (arrays[k], d)
+            cache[k] = (host_fresh[k], d, ids)
     out = dict(reused)
     out.update(fresh_dev)
     return out, orig

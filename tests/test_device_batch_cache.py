@@ -67,3 +67,35 @@ def test_lookahead_cache_spans_epochs():
                 gen, mesh, n, jnp.bfloat16, cache):
             seen.append(dev['rgb'])
     assert seen[1] is seen[0]
+
+
+def test_permuted_batch_reuses_device_rows():
+    mesh = create_mesh()
+    n = mesh.devices.size
+    cache = {}
+    b = _batch(7)
+    d1, _ = _device_batch(b, mesh, n, jnp.bfloat16, cache)
+    # same rows, shuffled order (ids permute with the rows)
+    p = [2, 0, 3, 1]
+    shuffled = {k: (v[p] if isinstance(v, np.ndarray) else [v[i] for i in p])
+                for k, v in b.items()}
+    d2, _ = _device_batch(shuffled, mesh, n, jnp.bfloat16, cache)
+    for k in ('rgb', 'audio', 'label'):
+        np.testing.assert_array_equal(
+            np.asarray(d2[k])[:4], np.asarray(d1[k])[p])
+
+
+def test_changed_rows_defeat_permutation_reuse():
+    mesh = create_mesh()
+    n = mesh.devices.size
+    cache = {}
+    b = _batch(9)
+    _device_batch(b, mesh, n, jnp.bfloat16, cache)
+    p = [1, 0, 3, 2]
+    shuffled = {k: (v[p].copy() if isinstance(v, np.ndarray)
+                    else [v[i] for i in p]) for k, v in b.items()}
+    shuffled['rgb'][0, 0, 0, 0] += 1.0   # not a pure permutation any more
+    d2, _ = _device_batch(shuffled, mesh, n, jnp.bfloat16, cache)
+    np.testing.assert_array_equal(
+        np.asarray(d2['rgb'], dtype=np.float32)[:4],
+        shuffled['rgb'].astype(jnp.bfloat16).astype(np.float32))
