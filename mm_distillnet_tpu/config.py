@@ -118,11 +118,16 @@ DEFAULTS = {
                                    # follow compute_dtype (bf16 halves the
                                    # infeed bytes; set float32 for the
                                    # reference's byte-exact input path)
-    'device_audio_resize': 'False',  # compact audio ingest: host stretches
+    'device_audio_resize': 'True',  # compact audio ingest: host stretches
                                    # only the spectrogram's time axis, the
                                    # compiled step stretches the 80-mel
                                    # axis on-device (9.6x fewer audio
-                                   # infeed bytes, cv2-exact result)
+                                   # infeed bytes, cv2-exact result).
+                                   # Default ON since round 5: measured
+                                   # 1.58x steady-state CLI epoch at
+                                   # D2@768 (BENCH_NOTES round 5); set
+                                   # False for the reference-parity
+                                   # full-size audio input path.
     'mta_parity_mode': 'True',     # reproduce kl_div(softmax, softmax) quirk
     'mesh_shape': '-1',            # -1: all local devices on the data axis
     'compound_coef': '2',          # EfficientDet coefficient for registry

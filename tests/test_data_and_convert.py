@@ -40,8 +40,14 @@ def test_synthetic_dataset_and_loader():
     s = ds[0]
     assert s['rgb'].shape == (128, 128, 3)
     assert s['thermal'].shape == (128, 128, 1)
-    assert s['audio'].shape == (128, 128, 8)
+    # compact audio ingest is the default since round 5 (80 mel rows,
+    # time axis stretched on host, mel axis stretched on device)
+    assert s['audio'].shape == (80, 128, 8)
     assert s['label'].shape[1] == 5
+    full = SyntheticMultimodal(
+        default_config(image_size=128, synthetic_size=8,
+                       device_audio_resize='False'), 'train')[0]
+    assert full['audio'].shape == (128, 128, 8)
 
     dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, max_gt=16)
     batches = list(dl)

@@ -64,7 +64,8 @@ def test_resizer_audio_time_only_shapes():
 
 def test_synthetic_compact_mode_shapes_and_other_modalities_unchanged():
     cfg_off = default_config(dataset='Synthetic', synthetic_size='2',
-                             image_size=str(SIZE))
+                             image_size=str(SIZE),
+                             device_audio_resize='False')
     cfg_on = default_config(dataset='Synthetic', synthetic_size='2',
                             image_size=str(SIZE),
                             device_audio_resize='True')
