@@ -85,7 +85,11 @@ def test_supervised_no_teacher_step():
 def test_use_labels_only_affects_traditional():
     """Fused-NMS methods ignore use_labels, matching the reference (only
     ModelWithLoss honors the flag)."""
-    config = default_config(image_size=SIZE, synthetic_size=4)
+    # full-size audio: this test inits the student directly on the raw
+    # batch tensor; the compact (80, S, M) default is covered by
+    # test_device_ingest.py / the trainer path, which stretch before init
+    config = default_config(image_size=SIZE, synthetic_size=4,
+                            device_audio_resize='False')
     batch = _batch(config)
     model = EfficientDet(num_classes=20, compound_coef=CC, dtype=jnp.float32)
     teacher = EfficientDet(num_classes=20, compound_coef=CC,

@@ -212,8 +212,14 @@ def test_synthetic_yield_batch_mixing():
     config = default_config(image_size=128, synthetic_size=4)
     ds = SyntheticMultimodal(config, 'train')
     labels, audio = ds.yield_batch(2, [ds.ids[0], ds.ids[1]])
-    assert audio.shape == (2, 128, 128, 8)
+    # compact audio ingest default (round 5): mixed stacks ship (80, S, M)
+    assert audio.shape == (2, 80, 128, 8)
     assert labels[0].shape[1] == 5 and len(labels[0]) >= 2
+    full = SyntheticMultimodal(
+        default_config(image_size=128, synthetic_size=4,
+                       device_audio_resize='False'), 'train')
+    _, full_audio = full.yield_batch(2, [full.ids[0], full.ids[1]])
+    assert full_audio.shape == (2, 128, 128, 8)
 
 
 def test_per_replica_bn_train_step():
